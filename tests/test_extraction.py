@@ -1,0 +1,180 @@
+"""Golden extraction fixtures ported from the reference:
+/root/reference/internal/scraper/enhanced_extractor_test.go:13-350.
+Same HTML snippets, same field configs, same expected typed values.
+"""
+
+import pytest
+
+from datascrapexter_spark.extract.config import FieldConfig
+from datascrapexter_spark.extract.fields import (
+    ExtractionFailed,
+    extract_all,
+    extract_field,
+)
+from datascrapexter_spark.html import parse_html
+
+CASES = [
+    # (html, config kwargs, expected)
+    ('<div class="price">$19.99</div>',
+     dict(name="price", selector=".price", type="number"), 19.99),
+    ('<div class="balance">+1500.75</div>',
+     dict(name="balance", selector=".balance", type="float"), 1500.75),
+    ('<div class="deficit">-250.50</div>',
+     dict(name="deficit", selector=".deficit", type="number"), -250.50),
+    ('<div class="count">42 items</div>',
+     dict(name="count", selector=".count", type="integer"), 42),
+    ('<div class="status">Available</div>',
+     dict(name="status", selector=".status", type="boolean"), True),
+    ('<div class="status">false</div>',
+     dict(name="status", selector=".status", type="boolean"), False),
+    ('<div class="status">Out of Stock</div>',
+     dict(name="status", selector=".status", type="boolean"), False),
+    ('<div class="status active"></div>',
+     dict(name="status", selector=".status", type="boolean"), True),
+    ('<div class="availability">Sold Out</div>',
+     dict(name="avail", selector=".availability", type="boolean"), False),
+    ('<div class="status">Coming Soon</div>',
+     dict(name="status", selector=".status", type="boolean"), False),
+    ('<div class="custom">Custom Status Message</div>',
+     dict(name="custom", selector=".custom", type="boolean"), True),
+    ('<input type="checkbox" disabled>',
+     dict(name="cb", selector="input", type="boolean"), False),
+    ('<input type="checkbox" checked>',
+     dict(name="cb", selector="input", type="boolean"), True),
+    ('<time datetime="2023-12-25">December 25, 2023</time>',
+     dict(name="date", selector="time", type="date"), "2023-12-25"),
+    ('<time datetime="2023-12-25T15:30:00Z">Christmas Day</time>',
+     dict(name="dt", selector="time", type="datetime"),
+     "2023-12-25T15:30:00Z"),
+    ('<a href="https://example.com/page">Link</a>',
+     dict(name="url", selector="a", type="url"), "https://example.com/page"),
+    ('<img src="https://example.com/image.jpg" alt="Image">',
+     dict(name="img", selector="img", type="url"),
+     "https://example.com/image.jpg"),
+    ('<base href="https://example.com/"><a href="/page">Link</a>',
+     dict(name="url", selector="a", type="url"), "https://example.com/page"),
+    ('<link rel="canonical" href="https://example.com/current">'
+     '<a href="relative/page">Link</a>',
+     dict(name="url", selector="a", type="url"),
+     "https://example.com/relative/page"),
+    ('<div class="contact">Contact us at info@example.com</div>',
+     dict(name="email", selector=".contact", type="email"),
+     "info@example.com"),
+    ('<a href="mailto:support@example.com">Email Us</a>',
+     dict(name="email", selector="a", type="email"), "support@example.com"),
+    ('<div class="phone">Call us: +1 (555) 123-4567</div>',
+     dict(name="phone", selector=".phone", type="phone"), "+15551234567"),
+    ('<div class="phone">0123 456 789</div>',
+     dict(name="phone", selector=".phone", type="phone"), "0123456789"),
+    ('<ul><li>Item 1</li><li>Item 2</li><li>Item 3</li></ul>',
+     dict(name="count", selector="li", type="count"), 3),
+    ('<div class="warning">Warning message</div>',
+     dict(name="exists", selector=".warning", type="exists"), True),
+    ('<div class="other">x</div>',
+     dict(name="exists", selector=".warning", type="exists"), False),
+]
+
+
+@pytest.mark.parametrize("html,cfg,expected", CASES)
+def test_golden_extraction(html, cfg, expected):
+    doc = parse_html(html)
+    value = extract_field(doc, FieldConfig(**cfg))
+    assert value == expected
+    assert type(value) is type(expected)
+
+
+def test_extract_json():
+    doc = parse_html(
+        '<script type="application/json">{"name": "John", "age": 30}</script>'
+    )
+    value = extract_field(doc, FieldConfig(name="j", selector="script", type="json"))
+    assert value == {"name": "John", "age": 30}
+
+
+def test_extract_table():
+    html = """
+        <table>
+            <thead>
+                <tr><th>Name</th><th>Age</th></tr>
+            </thead>
+            <tbody>
+                <tr><td>John</td><td>30</td></tr>
+                <tr><td>Jane</td><td>25</td></tr>
+            </tbody>
+        </table>
+    """
+    doc = parse_html(html)
+    value = extract_field(doc, FieldConfig(name="t", selector="table", type="table"))
+    assert value["headers"] == ["Name", "Age"]
+    assert value["count"] == 2
+    assert value["rows"] == [
+        {"Name": "John", "Age": "30"},
+        {"Name": "Jane", "Age": "25"},
+    ]
+
+
+def test_extract_table_no_thead_implied_tbody():
+    """net/html inserts an implied tbody around bare <tr> — the reference's
+    'tbody tr' selectors rely on it (extractor.go:692-707)."""
+    html = "<table><tr><th>H1</th></tr><tr><td>v1</td></tr></table>"
+    doc = parse_html(html)
+    value = extract_field(doc, FieldConfig(name="t", selector="table", type="table"))
+    assert value["headers"] == ["H1"]
+    assert value["rows"] == [{"H1": "v1"}]
+
+
+def test_list_extraction():
+    doc = parse_html("<ul><li> a </li><li>b</li></ul>")
+    value = extract_field(doc, FieldConfig(name="l", selector="li", type="list"))
+    assert value == ["a", "b"]
+
+
+def test_text_trimmed():
+    doc = parse_html('<h1>  Test Page Title </h1>')
+    assert extract_field(doc, FieldConfig(name="t", selector="h1")) == "Test Page Title"
+
+
+def test_required_missing_raises():
+    doc = parse_html("<div>x</div>")
+    with pytest.raises(ExtractionFailed):
+        extract_field(doc, FieldConfig(name="m", selector=".nope", required=True))
+
+
+def test_default_value_on_missing():
+    doc = parse_html("<div>x</div>")
+    assert extract_field(doc, FieldConfig(name="m", selector=".nope", type="text")) == ""
+    assert extract_field(
+        doc, FieldConfig(name="m", selector=".nope", type="integer")
+    ) == 0
+    assert extract_field(
+        doc, FieldConfig(name="m", selector=".nope", type="text", default="dflt")
+    ) == "dflt"
+
+
+def test_transform_applied_after_extraction():
+    """test_utils.go:91-127 config: price regex $([0-9,]+\\.?[0-9]*) -> $1."""
+    doc = parse_html('<span class="price">$99.99</span>')
+    cfg = FieldConfig(
+        name="price", selector=".price", type="text",
+        transform=[
+            {"type": "regex", "pattern": r"\$([0-9,]+\.?[0-9]*)",
+             "replacement": "$1"},
+        ],
+    )
+    assert extract_field(doc, cfg) == "99.99"
+
+
+def test_extract_all_error_tracking():
+    doc = parse_html("<div class='a'>ok</div>")
+    fields = [
+        FieldConfig(name="good", selector=".a"),
+        FieldConfig(name="bad", selector=".missing", required=True),
+        FieldConfig(name="after", selector=".a"),
+    ]
+    data, errors, success = extract_all(doc, fields, continue_on_error=True)
+    assert data["good"] == "ok" and data["after"] == "ok"
+    assert len(errors) == 1 and errors[0].severity == "CRITICAL"
+    assert success is False
+
+    data2, errors2, _ = extract_all(doc, fields, continue_on_error=False)
+    assert "after" not in data2  # chain stopped at the failure
