@@ -1,0 +1,113 @@
+"""Per-domain politeness budgets + skew-resistant scheduling.
+
+Semantics derive from the reference's AdaptiveRateLimiter
+(/root/reference/internal/scraper/ratelimiter.go):
+  - error-rate > 10% slows the domain, up to 4x        (:31, :380-400)
+  - consecutive bad rounds add a penalty, capped 10x   (:38, :391-396)
+  - robots crawl-delay respected, capped by max_crawl_delay
+    (configs/ecommerce.yaml:400-402)
+  - per-host page cap (engine.go:715-718 maxPages default 10)
+
+The reference adapts on wall-clock inside a mutex (:185-252). That cannot
+be reproduced deterministically on a cluster, so this engine evaluates the
+SAME recurrence once per crawl round from the previous round's aggregates
+(SURVEY §7 "adaptive politeness determinism"): budgets are a pure function
+of (config, robots, previous-round error rates), hence reproducible and
+identical in the sequential oracle simulator.
+
+Everything here is native Column expressions (whole-stage codegen) except
+nothing — no UDFs. The per-domain top-k runs in two phases over a salt of
+the url_hash so one mega-host cannot create a single giant window
+partition (north_rule: "salted groupBy-per-registered-domain to kill host
+skew"); phase 1 prunes each (domain, salt) slice to its local top-k,
+phase 2 ranks the <= n_salts*k survivors exactly.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PolitenessConfig:
+    requests_per_second: float = 2.0
+    burst: int = 5
+    round_seconds: float = 5.0
+    max_crawl_delay_s: float = 10.0
+    max_pages_per_round_per_domain: int = 10
+    error_rate_threshold: float = 0.10   # ratelimiter.go:24
+    error_rate_multiplier: float = 3.0   # ratelimiter.go:31
+    max_slowdown: float = 4.0            # "up to 4x slower"
+    max_penalty: float = 10.0            # consecutive-error cap
+    n_salts: int = 8
+
+
+def tokens_per_round(delay_col, err_rate_col, consec_col, cfg: PolitenessConfig):
+    """Budget recurrence as a Column expression.
+
+    tokens = clamp(floor(round_seconds * eff_rps / slowdown), 1, page_cap)
+    eff_rps = min(base_rps, 1/min(crawl_delay, max_delay))
+    slowdown = min(1 + err*mult, 4) * min(1 + 0.5*consec, 10), capped 10.
+    """
+    eff_delay = F.least(delay_col, F.lit(float(cfg.max_crawl_delay_s)))
+    eff_rps = F.when(
+        eff_delay > 0.0,
+        F.least(F.lit(float(cfg.requests_per_second)), F.lit(1.0) / eff_delay),
+    ).otherwise(F.lit(float(cfg.requests_per_second)))
+    err = F.coalesce(err_rate_col, F.lit(0.0))
+    consec = F.coalesce(consec_col, F.lit(0))
+    slowdown = F.when(
+        err > cfg.error_rate_threshold,
+        F.least(F.lit(1.0) + err * cfg.error_rate_multiplier,
+                F.lit(float(cfg.max_slowdown))),
+    ).otherwise(F.lit(1.0))
+    penalty = F.least(F.lit(1.0) + 0.5 * consec.cast("double"),
+                      F.lit(float(cfg.max_penalty)))
+    total_slow = F.least(slowdown * penalty, F.lit(float(cfg.max_penalty)))
+    raw = F.floor(F.lit(float(cfg.round_seconds)) * eff_rps / total_slow)
+    return F.greatest(
+        F.lit(1),
+        F.least(raw, F.lit(int(cfg.max_pages_per_round_per_domain))),
+    ).cast("int")
+
+
+def next_consec_errors(err_rate_col, consec_col, cfg: PolitenessConfig):
+    err = F.coalesce(err_rate_col, F.lit(0.0))
+    consec = F.coalesce(consec_col, F.lit(0))
+    return (F.when(err > cfg.error_rate_threshold, consec + 1)
+            .otherwise(F.lit(0))).cast("int")
+
+
+def schedule_topk(pending: DataFrame, budgets: DataFrame,
+                  cfg: PolitenessConfig) -> DataFrame:
+    """Pick each domain's top-`tokens` pending URLs, skew-resistant.
+
+    Ordering (deterministic total order per domain, SURVEY §7):
+      priority DESC, round_added ASC, url_hash ASC.
+
+    Two-phase top-k: phase 1 ranks within (domain, salt) — bounded
+    partitions regardless of host skew — and keeps local top-k; phase 2
+    ranks the survivors (<= n_salts * tokens per domain) exactly.
+    Emits `seq` = 1-based rank within the domain for this round.
+    """
+    order = [F.col("priority").desc(), F.col("round_added").asc(),
+             F.col("url_hash").asc()]
+    with_budget = pending.join(F.broadcast(budgets), "domain", "inner")
+
+    salt = F.pmod(F.col("url_hash"), F.lit(cfg.n_salts))
+    w1 = Window.partitionBy("domain", "salt").orderBy(*order)
+    phase1 = (
+        with_budget.withColumn("salt", salt)
+        .withColumn("local_rank", F.row_number().over(w1))
+        .filter(F.col("local_rank") <= F.col("tokens"))
+        .drop("local_rank", "salt")
+    )
+    w2 = Window.partitionBy("domain").orderBy(*order)
+    return (
+        phase1.withColumn("seq", F.row_number().over(w2))
+        .filter(F.col("seq") <= F.col("tokens"))
+        .drop("tokens")
+    )

@@ -1,0 +1,441 @@
+"""The crawl-round driver loop: schedule -> fetch -> extract -> dedup ->
+checkpoint, generalized from the reference's strictly-sequential page loop
+(/root/reference/internal/scraper/engine.go:678-804) to a batch-incremental
+frontier at cluster scale (north_rule).
+
+Round r (all DataFrame ops; the only Python crossings are the Arrow-batched
+UDFs for robots prefix-match, URL canonicalization, HTML link extraction,
+and Bloom probe):
+
+ 1. pending frontier rows, robots-filtered (broadcast rules; denied ->
+    'blocked' — compliance_test.go:226-238 semantics);
+ 2. per-domain budgets from the deterministic politeness recurrence
+    (politeness.py; ratelimiter.go semantics evaluated round-wise);
+ 3. salted two-phase top-k picks this round's fetch set with a
+    deterministic total order (priority DESC, round_added, url_hash);
+ 4. "fetch" = left equi-join against the canonical pages table (the
+    sandbox stand-in for the HTTP fetch — BASELINE.json input_hint);
+    misses re-enqueue with attempts+1 (client.go:311-322 retry semantics,
+    deterministic), up to max_attempts;
+ 5. out-links -> canonicalize -> Bloom prefilter (definitely-new skips
+    the shuffle) -> exact left_anti join vs url_seen -> append frontier;
+ 6. checkpoint everything to snapshot tables + commit the round journal
+    (crash mid-round resumes from the last committed round).
+
+Identity for dedup is xxhash64(url_canon) per north_rule; the sequential
+oracle simulator (tests/crawl_oracle.py) reproduces every step bit-for-bit,
+which is how crawl order + seen set are verified.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.urlnorm import (
+    extract_domain_udf,
+    normalize_url_udf,
+    registered_domain,
+    registered_domain_udf,
+)
+from .bloom import BloomShards, build_bitset
+from .links import extract_links_df
+from .politeness import (
+    PolitenessConfig,
+    next_consec_errors,
+    schedule_topk,
+    tokens_per_round,
+)
+from .robots import RobotsIndex
+from .state import StateStore
+
+FRONTIER_SCHEMA = T.StructType([
+    T.StructField("url_canon", T.StringType()),
+    T.StructField("url_hash", T.LongType()),
+    T.StructField("host", T.StringType()),
+    T.StructField("domain", T.StringType()),
+    T.StructField("priority", T.IntegerType()),
+    T.StructField("attempts", T.IntegerType()),
+    T.StructField("round_added", T.IntegerType()),
+    T.StructField("state", T.StringType()),
+])
+
+CRAWL_LOG_SCHEMA = T.StructType([
+    T.StructField("round", T.IntegerType()),
+    T.StructField("domain", T.StringType()),
+    T.StructField("seq", T.IntegerType()),
+    T.StructField("url_canon", T.StringType()),
+    T.StructField("url_hash", T.LongType()),
+    T.StructField("priority", T.IntegerType()),
+    T.StructField("status", T.StringType()),
+])
+
+
+@dataclass
+class CrawlConfig:
+    politeness: PolitenessConfig = dc_field(default_factory=PolitenessConfig)
+    max_attempts: int = 3
+    max_rounds: int = 20
+    user_agent: str = "DataScrapexter"
+    link_selector: str = "a[href]"
+    restrict_to_seed_hosts: bool = True
+    default_priority: int = 5          # JobPriority normal (pkg/types/types.go:47)
+    bloom_n_shards: int = 16
+    bloom_m_bits: int = 1 << 20
+    bloom_k: int = 7
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, store: StateStore,
+                 pages: DataFrame, robots_texts: dict[str, str],
+                 config: CrawlConfig | None = None):
+        self.spark = spark
+        self.store = store
+        self.cfg = config or CrawlConfig()
+        self.robots = RobotsIndex.from_texts(robots_texts or {})
+        self.pages = self._prepare_pages(pages).cache()
+        self.allowed_hosts: set[str] | None = None
+        self._snapshot_ids: dict[str, int | None] = {}
+
+    # ------------------------------------------------------------------
+    # preparation
+    # ------------------------------------------------------------------
+
+    def _prepare_pages(self, pages: DataFrame) -> DataFrame:
+        """Canonicalize the pages table once; keep first row per url_canon
+        (earliest warc_ts — WARC convention for re-fetches)."""
+        canon = pages.withColumn("url_canon", normalize_url_udf("url"))
+        order_cols = [F.col("warc_ts").asc()] if "warc_ts" in pages.columns else []
+        order_cols.append(F.col("url").asc())
+        w = Window.partitionBy("url_canon").orderBy(*order_cols)
+        return (
+            canon.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("url_canon", "html")
+        )
+
+    def _frontier_rows(self, urls: DataFrame, priority_col, round_no: int) -> DataFrame:
+        """url column -> full frontier-schema rows."""
+        return (
+            urls.withColumn("url_hash", F.xxhash64("url_canon"))
+            .withColumn("host", extract_domain_udf("url_canon"))
+            .withColumn("domain", registered_domain_udf("host"))
+            .withColumn("priority", priority_col.cast("int"))
+            .withColumn("attempts", F.lit(0))
+            .withColumn("round_added", F.lit(round_no))
+            .withColumn("state", F.lit("pending"))
+            .select([f.name for f in FRONTIER_SCHEMA.fields])
+        )
+
+    # ------------------------------------------------------------------
+    # lifecycle
+    # ------------------------------------------------------------------
+
+    def init(self, seeds: DataFrame) -> None:
+        """Seed the frontier. seeds: (url[, priority])."""
+        if "priority" not in seeds.columns:
+            seeds = seeds.withColumn("priority", F.lit(self.cfg.default_priority))
+        canon = (
+            seeds.withColumn("url_canon", normalize_url_udf("url"))
+            .select("url_canon", "priority")
+        )
+        # one row per canonical URL; highest priority wins, deterministic
+        w = Window.partitionBy("url_canon").orderBy(F.col("priority").desc())
+        canon = (canon.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+        frontier = self._frontier_rows(canon, F.col("priority"), 0)
+
+        if self.cfg.restrict_to_seed_hosts:
+            hosts = [r["host"] for r in frontier.select("host").distinct().collect()]
+            self.allowed_hosts = set(hosts)
+
+        sids = {}
+        sids["frontier"] = self.store["frontier"].overwrite(frontier)
+        seen = frontier.select("url_hash")
+        sids["url_seen"] = self.store["url_seen"].overwrite(seen)
+        sids["bloom_shards"] = self.store["bloom_shards"].overwrite(
+            self._bloom_partials(seen, 0)
+        )
+        empty_state = self.spark.createDataFrame(
+            [], "domain string, err_rate double, consec_err int")
+        sids["domain_state"] = self.store["domain_state"].overwrite(empty_state)
+        sids["crawl_log"] = self.store["crawl_log"].overwrite(
+            self.spark.createDataFrame([], CRAWL_LOG_SCHEMA))
+        sids["lineage_metrics"] = self.store["lineage_metrics"].overwrite(
+            self.spark.createDataFrame(
+                [], "round int, partition_id int, scheduled long, fetched long, "
+                    "errors long"))
+        self.store.commit_round(0, sids)
+        self._snapshot_ids = sids
+
+    def resume(self) -> int:
+        """Roll state back to the last committed round; returns that round.
+        Uncommitted snapshots written by a crashed round are simply not
+        referenced (north_rule: resumable mid-crawl)."""
+        last = self.store.last_committed_round()
+        if last is None:
+            raise RuntimeError("no committed rounds to resume from")
+        self._snapshot_ids = last["snapshots"]
+        if self.cfg.restrict_to_seed_hosts and self.allowed_hosts is None:
+            frontier = self._read("frontier")
+            seed_hosts = (frontier.filter(F.col("round_added") == 0)
+                          .select("host").distinct().collect())
+            self.allowed_hosts = {r["host"] for r in seed_hosts}
+        return last["round"]
+
+    def _read(self, table: str) -> DataFrame:
+        return self.store[table].read(self.spark, self._snapshot_ids.get(table))
+
+    # ------------------------------------------------------------------
+    # bloom helpers
+    # ------------------------------------------------------------------
+
+    def _bloom_partials(self, hashes: DataFrame, round_no: int) -> DataFrame:
+        """Executor-side shard build: group new hashes by shard, one
+        bitset per shard per round (append-only; reader OR-merges)."""
+        m_bits, k = self.cfg.bloom_m_bits, self.cfg.bloom_k
+        n_shards = self.cfg.bloom_n_shards
+        out_schema = "shard_id int, round int, bitset binary"
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard_id"].iloc[0])
+            bs = build_bitset(pdf["url_hash"].to_numpy(), m_bits, k)
+            return pd.DataFrame(
+                {"shard_id": [shard], "round": [round_no], "bitset": [bs]})
+
+        return (
+            hashes.withColumn("shard_id",
+                              F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int"))
+            .groupBy("shard_id").applyInPandas(build, out_schema)
+        )
+
+    def _load_bloom(self) -> BloomShards:
+        df = self._read("bloom_shards")
+        rows = [] if df is None else [
+            (r["shard_id"], r["round"], r["bitset"]) for r in df.collect()
+        ]
+        return BloomShards.from_rows(
+            rows, self.cfg.bloom_n_shards, self.cfg.bloom_m_bits, self.cfg.bloom_k)
+
+    # ------------------------------------------------------------------
+    # one round
+    # ------------------------------------------------------------------
+
+    def run_round(self, round_no: int) -> dict:
+        t0 = time.monotonic()
+        cfg, pol = self.cfg, self.cfg.politeness
+        frontier = self._read("frontier")
+        pending = frontier.filter(F.col("state") == "pending")
+
+        # --- robots gate (broadcast rules; Arrow-batched prefix match) ---
+        robots = self.robots
+        ua = cfg.user_agent
+
+        @F.pandas_udf(T.BooleanType())
+        def allowed_udf(hosts: pd.Series, paths: pd.Series) -> pd.Series:
+            return robots.allowed_series(ua, hosts, paths)
+
+        with_path = pending.withColumn(
+            "path", F.coalesce(F.parse_url("url_canon", F.lit("PATH")), F.lit("")))
+        gated = with_path.withColumn(
+            "allowed", allowed_udf("host", "path")).drop("path").cache()
+        blocked = gated.filter(~F.col("allowed")).drop("allowed")
+        eligible = gated.filter(F.col("allowed")).drop("allowed")
+
+        # --- budgets (pure Column recurrence over previous-round state) ---
+        delays = self._domain_delays_df()
+        prev_state = self._read("domain_state")
+        domains = eligible.select("domain").distinct()
+        budgets = (
+            domains.join(F.broadcast(delays), "domain", "left")
+            .join(F.broadcast(prev_state), "domain", "left")
+            .select(
+                "domain",
+                tokens_per_round(
+                    F.coalesce(F.col("crawl_delay_s"), F.lit(0.0)),
+                    F.col("err_rate"), F.col("consec_err"), pol,
+                ).alias("tokens"),
+            )
+        )
+
+        scheduled = schedule_topk(eligible, budgets, pol).cache()
+
+        # --- "fetch": equi-join the canonical pages table ---
+        fetched = (
+            scheduled.join(self.pages, "url_canon", "left")
+            .withColumn("found", F.col("html").isNotNull())
+        ).cache()
+
+        # --- per-partition lineage metrics (north_rule) ---
+        metrics = (
+            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count("*").alias("scheduled"),
+                 F.sum(F.col("found").cast("long")).alias("fetched"),
+                 F.sum((~F.col("found")).cast("long")).alias("errors"))
+            .withColumn("round", F.lit(round_no))
+            .select("round", "partition_id", "scheduled", "fetched", "errors")
+        )
+
+        # --- out-links -> new frontier candidates ---
+        links = extract_links_df(
+            fetched.filter("found").select("url_canon", "html"),
+            selector=cfg.link_selector,
+        )
+        candidates = links.select(
+            F.col("out_url_canon").alias("url_canon")).distinct()
+        candidates = candidates.withColumn("host", extract_domain_udf("url_canon"))
+        if self.allowed_hosts is not None:
+            hosts_df = self.spark.createDataFrame(
+                [(h,) for h in sorted(self.allowed_hosts)], "host string")
+            candidates = candidates.join(F.broadcast(hosts_df), "host", "semi")
+        candidates = candidates.withColumn("url_hash", F.xxhash64("url_canon"))
+
+        # --- dedup: Bloom prefilter, then exact anti-join for maybe-seen ---
+        bloom = self._load_bloom()
+        bbc = self.spark.sparkContext.broadcast(bloom)
+
+        @F.pandas_udf(T.BooleanType())
+        def maybe_seen_udf(h: pd.Series) -> pd.Series:
+            return pd.Series(bbc.value.maybe_seen(h.to_numpy()))
+
+        flagged = candidates.withColumn("maybe_seen", maybe_seen_udf("url_hash"))
+        definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        needs_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+        url_seen = self._read("url_seen")
+        confirmed_new = needs_check.join(url_seen, "url_hash", "left_anti")
+        new_urls = definite_new.unionByName(confirmed_new)
+        new_rows = (
+            new_urls.withColumn("domain", registered_domain_udf("host"))
+            .withColumn("priority", F.lit(cfg.default_priority))
+            .withColumn("attempts", F.lit(0))
+            .withColumn("round_added", F.lit(round_no))
+            .withColumn("state", F.lit("pending"))
+            .select([f.name for f in FRONTIER_SCHEMA.fields])
+        )
+
+        # --- frontier state transitions ---
+        done = fetched.filter("found").select(
+            "url_hash", F.lit("done").alias("new_state"),
+            F.col("attempts").alias("new_attempts"))
+        missed = fetched.filter(~F.col("found")).select(
+            "url_hash",
+            F.when(F.col("attempts") + 1 >= cfg.max_attempts, "failed")
+             .otherwise("pending").alias("new_state"),
+            (F.col("attempts") + 1).alias("new_attempts"))
+        blocked_upd = blocked.select(
+            "url_hash", F.lit("blocked").alias("new_state"),
+            F.col("attempts").alias("new_attempts"))
+        updates = done.unionByName(missed).unionByName(blocked_upd)
+
+        new_frontier = (
+            frontier.join(updates, "url_hash", "left")
+            .withColumn("state", F.coalesce("new_state", "state"))
+            .withColumn("attempts",
+                        F.coalesce("new_attempts", "attempts").cast("int"))
+            .drop("new_state", "new_attempts")
+            .unionByName(new_rows)
+        )
+
+        # --- crawl log (the reproducible order fixture) ---
+        log = fetched.select(
+            F.lit(round_no).alias("round"), "domain", "seq", "url_canon",
+            "url_hash", "priority",
+            F.when(F.col("found"), "fetched").otherwise("miss").alias("status"),
+        )
+
+        # --- domain adaptation state for the next round ---
+        round_err = (
+            fetched.groupBy("domain")
+            .agg(F.count("*").alias("att"),
+                 F.sum((~F.col("found")).cast("long")).alias("errs"))
+            .withColumn("err_rate", F.col("errs") / F.col("att"))
+        )
+        new_domain_state = (
+            round_err.join(F.broadcast(prev_state.select("domain", "consec_err")),
+                           "domain", "left")
+            .select(
+                "domain", "err_rate",
+                next_consec_errors(F.col("err_rate"), F.col("consec_err"),
+                                   pol).alias("consec_err"),
+            )
+        )
+
+        # --- checkpoint + round commit ---
+        sids = dict(self._snapshot_ids)
+        sids["frontier"] = self.store["frontier"].overwrite(new_frontier)
+        sids["url_seen"] = self.store["url_seen"].append(
+            new_rows.select("url_hash"))
+        new_hashes = new_rows.select("url_hash")
+        sids["bloom_shards"] = self.store["bloom_shards"].append(
+            self._bloom_partials(new_hashes, round_no))
+        sids["domain_state"] = self.store["domain_state"].overwrite(new_domain_state)
+        sids["crawl_log"] = self.store["crawl_log"].append(log)
+        sids["lineage_metrics"] = self.store["lineage_metrics"].append(metrics)
+
+        stats_row = fetched.agg(
+            F.count("*").alias("scheduled"),
+            F.sum(F.col("found").cast("long")).alias("fetched")).collect()[0]
+        n_new = new_rows.count()
+        pending_left = new_frontier.filter(F.col("state") == "pending").count()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        self.store.commit_round(round_no, sids)
+        self._snapshot_ids = sids
+
+        gated.unpersist()
+        scheduled.unpersist()
+        fetched.unpersist()
+        return {
+            "round": round_no,
+            "scheduled": stats_row["scheduled"] or 0,
+            "fetched": stats_row["fetched"] or 0,
+            "new_urls": n_new,
+            "pending": pending_left,
+            "wall_ms": wall_ms,
+        }
+
+    def _domain_delays_df(self) -> DataFrame:
+        delays: dict[str, float] = {}
+        for host, rules in self.robots.by_host.items():
+            d = rules.get_crawl_delay(self.cfg.user_agent)
+            if d > 0:
+                dom = registered_domain(host)
+                delays[dom] = max(delays.get(dom, 0.0), d)
+        rows = [(k, float(v)) for k, v in sorted(delays.items())]
+        if not rows:
+            return self.spark.createDataFrame([], "domain string, crawl_delay_s double")
+        return self.spark.createDataFrame(rows, "domain string, crawl_delay_s double")
+
+    # ------------------------------------------------------------------
+    # full crawl
+    # ------------------------------------------------------------------
+
+    def run(self, seeds: DataFrame | None = None,
+            max_rounds: int | None = None) -> list[dict]:
+        """Run until the frontier drains or max_rounds; returns round stats.
+        Pass seeds to start fresh; omit to resume from the journal."""
+        if seeds is not None:
+            self.init(seeds)
+            start = 1
+        else:
+            start = self.resume() + 1
+        stats = []
+        limit = max_rounds or self.cfg.max_rounds
+        for r in range(start, limit + 1):
+            s = self.run_round(r)
+            stats.append(s)
+            if s["pending"] == 0:
+                break
+        return stats
+
+    def crawl_log(self) -> DataFrame:
+        return (self._read("crawl_log")
+                .orderBy("round", "domain", "seq"))
+
+    def seen_hashes(self) -> DataFrame:
+        return self._read("url_seen")

@@ -1,0 +1,216 @@
+"""Sequential oracle simulator for the crawl engine.
+
+Implements the reference's sequential-crawl semantics (engine.go:678-804
+generalized round-wise per SURVEY §2.11/§7) in plain single-threaded
+Python, sharing the exact same primitives as the Spark engine
+(normalize_url, extract_links_py, robots parser, xxhash64 twin, budget
+recurrence). The Spark engine's crawl_log and url_seen set must match this
+simulator bit-for-bit — that is the "matching crawl order and URL-seen
+set" gate from BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+from datascrapexter_spark.frontier.links import extract_links_py
+from datascrapexter_spark.frontier.politeness import PolitenessConfig
+from datascrapexter_spark.frontier.robots import RobotsIndex
+from datascrapexter_spark.frontier.scheduler import CrawlConfig
+from datascrapexter_spark.functions.hashing import spark_xxhash64_str
+from datascrapexter_spark.functions.urlnorm import (
+    extract_domain,
+    normalize_url,
+    registered_domain,
+)
+from urllib.parse import urlsplit
+
+
+@dataclass
+class SimURL:
+    url_canon: str
+    url_hash: int
+    host: str
+    domain: str
+    priority: int
+    attempts: int = 0
+    round_added: int = 0
+    state: str = "pending"
+
+
+@dataclass
+class CrawlSimulator:
+    pages: dict[str, bytes]          # url_canon -> html (first warc_ts wins)
+    robots: RobotsIndex
+    cfg: CrawlConfig
+    allowed_hosts: set[str] | None = None
+    frontier: dict[str, SimURL] = field(default_factory=dict)
+    seen: set[int] = field(default_factory=set)
+    domain_state: dict[str, tuple[float, int]] = field(default_factory=dict)
+    crawl_log: list[tuple] = field(default_factory=list)
+
+    @classmethod
+    def from_raw(cls, pages_rows, robots_texts, cfg: CrawlConfig):
+        """pages_rows: (url, warc_ts, html, ...) — canonical dedup keeps the
+        earliest (warc_ts, url) like CrawlEngine._prepare_pages."""
+        best: dict[str, tuple] = {}
+        for row in pages_rows:
+            url, ts, html = row[0], row[1], row[2]
+            canon = normalize_url(url)
+            key = (ts, url)
+            if canon not in best or key < best[canon][0]:
+                best[canon] = (key, html)
+        pages = {c: v[1] for c, v in best.items()}
+        return cls(pages=pages, robots=RobotsIndex.from_texts(robots_texts),
+                   cfg=cfg)
+
+    # ------------------------------------------------------------------
+
+    def _mk(self, url_canon: str, priority: int, round_added: int) -> SimURL:
+        host = extract_domain(url_canon)
+        return SimURL(
+            url_canon=url_canon,
+            url_hash=spark_xxhash64_str(url_canon),
+            host=host,
+            domain=registered_domain(host),
+            priority=priority,
+            round_added=round_added,
+        )
+
+    def init(self, seeds: list[tuple[str, int]]) -> None:
+        best: dict[str, int] = {}
+        for url, priority in seeds:
+            canon = normalize_url(url)
+            best[canon] = max(best.get(canon, -(1 << 31)), priority)
+        for canon, priority in best.items():
+            u = self._mk(canon, priority, 0)
+            self.frontier[canon] = u
+            self.seen.add(u.url_hash)
+        if self.cfg.restrict_to_seed_hosts:
+            self.allowed_hosts = {u.host for u in self.frontier.values()}
+
+    # -- budget recurrence, identical to politeness.tokens_per_round ------
+
+    def _tokens(self, domain: str) -> int:
+        pol: PolitenessConfig = self.cfg.politeness
+        delay = self._domain_delay(domain)
+        eff_delay = min(delay, pol.max_crawl_delay_s)
+        if eff_delay > 0.0:
+            eff_rps = min(pol.requests_per_second, 1.0 / eff_delay)
+        else:
+            eff_rps = pol.requests_per_second
+        err_rate, consec = self.domain_state.get(domain, (0.0, 0))
+        if err_rate > pol.error_rate_threshold:
+            slowdown = min(1.0 + err_rate * pol.error_rate_multiplier,
+                           pol.max_slowdown)
+        else:
+            slowdown = 1.0
+        penalty = min(1.0 + 0.5 * consec, pol.max_penalty)
+        total = min(slowdown * penalty, pol.max_penalty)
+        raw = math.floor(pol.round_seconds * eff_rps / total)
+        return max(1, min(raw, pol.max_pages_per_round_per_domain))
+
+    def _domain_delay(self, domain: str) -> float:
+        delay = 0.0
+        for host in self.robots.by_host:
+            if registered_domain(host) == domain:
+                delay = max(delay,
+                            self.robots.crawl_delay(self.cfg.user_agent, host))
+        return delay
+
+    # ------------------------------------------------------------------
+
+    def run_round(self, round_no: int) -> dict:
+        cfg = self.cfg
+        pending = [u for u in self.frontier.values() if u.state == "pending"]
+
+        # robots gate (parse_url PATH parity: path of canonical URL)
+        eligible: list[SimURL] = []
+        for u in pending:
+            path = urlsplit(u.url_canon).path
+            if self.robots.allowed(cfg.user_agent, u.host, path):
+                eligible.append(u)
+            else:
+                u.state = "blocked"
+
+        # per-domain top-k, ordered (priority desc, round_added, url_hash)
+        by_domain: dict[str, list[SimURL]] = {}
+        for u in eligible:
+            by_domain.setdefault(u.domain, []).append(u)
+
+        scheduled: list[tuple[SimURL, int]] = []
+        for domain in by_domain:
+            urls = sorted(by_domain[domain],
+                          key=lambda u: (-u.priority, u.round_added, u.url_hash))
+            for seq, u in enumerate(urls[: self._tokens(domain)], start=1):
+                scheduled.append((u, seq))
+
+        # fetch + links
+        new_candidates: list[str] = []
+        cand_set: set[str] = set()
+        per_domain_att: dict[str, int] = {}
+        per_domain_err: dict[str, int] = {}
+        n_fetched = 0
+        for u, seq in scheduled:
+            per_domain_att[u.domain] = per_domain_att.get(u.domain, 0) + 1
+            html = self.pages.get(u.url_canon)
+            if html is None:
+                per_domain_err[u.domain] = per_domain_err.get(u.domain, 0) + 1
+                u.attempts += 1
+                u.state = "failed" if u.attempts >= cfg.max_attempts else "pending"
+                status = "miss"
+            else:
+                u.state = "done"
+                n_fetched += 1
+                status = "fetched"
+                for link in extract_links_py(html, u.url_canon,
+                                             cfg.link_selector):
+                    if link not in cand_set:
+                        cand_set.add(link)
+                        new_candidates.append(link)
+            self.crawl_log.append(
+                (round_no, u.domain, seq, u.url_canon, u.url_hash,
+                 u.priority, status))
+
+        # dedup + enqueue
+        n_new = 0
+        for canon in new_candidates:
+            host = extract_domain(canon)
+            if self.allowed_hosts is not None and host not in self.allowed_hosts:
+                continue
+            h = spark_xxhash64_str(canon)
+            if h in self.seen:
+                continue
+            self.seen.add(h)
+            u = self._mk(canon, cfg.default_priority, round_no)
+            self.frontier[canon] = u
+            n_new += 1
+
+        # domain adaptation state
+        for domain, att in per_domain_att.items():
+            errs = per_domain_err.get(domain, 0)
+            err_rate = errs / att
+            _, prev_consec = self.domain_state.get(domain, (0.0, 0))
+            consec = prev_consec + 1 \
+                if err_rate > cfg.politeness.error_rate_threshold else 0
+            self.domain_state[domain] = (err_rate, consec)
+
+        pending_left = sum(1 for u in self.frontier.values()
+                           if u.state == "pending")
+        return {"round": round_no, "scheduled": len(scheduled),
+                "fetched": n_fetched, "new_urls": n_new,
+                "pending": pending_left}
+
+    def run(self, seeds, max_rounds: int | None = None) -> list[dict]:
+        self.init(seeds)
+        stats = []
+        for r in range(1, (max_rounds or self.cfg.max_rounds) + 1):
+            s = self.run_round(r)
+            stats.append(s)
+            if s["pending"] == 0:
+                break
+        return stats
+
+    def sorted_log(self) -> list[tuple]:
+        return sorted(self.crawl_log, key=lambda t: (t[0], t[1], t[2]))

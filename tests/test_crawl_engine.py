@@ -1,0 +1,166 @@
+"""The north_rule gate: the distributed Spark crawl must reproduce the
+sequential oracle's crawl order and URL-seen set exactly, under the same
+seed list and politeness budget; plus robots gating, retry, adaptation,
+and crash-resume."""
+
+import pytest
+
+from datascrapexter_spark.frontier.politeness import PolitenessConfig
+from datascrapexter_spark.frontier.scheduler import CrawlConfig, CrawlEngine
+from datascrapexter_spark.frontier.state import StateStore
+
+from .crawl_oracle import CrawlSimulator
+from .webgen import make_web
+
+
+def make_cfg(**kw):
+    pol = PolitenessConfig(
+        requests_per_second=2.0,
+        round_seconds=2.0,               # base tokens = 4/round
+        max_pages_per_round_per_domain=6,
+        n_salts=4,
+    )
+    defaults = dict(politeness=pol, max_attempts=2, max_rounds=12)
+    defaults.update(kw)
+    return CrawlConfig(**defaults)
+
+
+@pytest.fixture(scope="module")
+def web():
+    return make_web(n_hosts=5, pages_per_host=12, seed=42)
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, tmp_path_factory, web):
+    """One full crawl shared by the read-only assertions below."""
+    cfg = make_cfg()
+    engine, stats = run_spark_crawl(
+        spark, tmp_path_factory.mktemp("crawl"), web, cfg)
+    return engine, stats, cfg
+
+
+def run_spark_crawl(spark, tmp_path, web, cfg, max_rounds=None,
+                    interrupt_after=None):
+    pages_rows, seeds_rows, robots_texts = web
+    pages_df = spark.createDataFrame(
+        pages_rows, "url string, warc_ts timestamp, html binary, "
+                    "text string, lang string")
+    seeds_df = spark.createDataFrame(seeds_rows, "url string, priority int")
+    store = StateStore(str(tmp_path / "state"))
+    engine = CrawlEngine(spark, store, pages_df, robots_texts, cfg)
+    if interrupt_after is None:
+        stats = engine.run(seeds_df, max_rounds=max_rounds)
+        return engine, stats
+    engine.init(seeds_df)
+    for r in range(1, interrupt_after + 1):
+        engine.run_round(r)
+    return engine, None
+
+
+def spark_log(engine):
+    return [
+        (r["round"], r["domain"], r["seq"], r["url_canon"], r["url_hash"],
+         r["priority"], r["status"])
+        for r in engine.crawl_log().collect()
+    ]
+
+
+def test_crawl_matches_sequential_oracle(crawled, web):
+    """Crawl order AND seen set match the oracle bit-for-bit."""
+    engine, stats, cfg = crawled
+
+    sim = CrawlSimulator.from_raw(web[0], web[2], cfg)
+    sim_stats = sim.run(web[1])
+
+    assert spark_log(engine) == sim.sorted_log()
+    spark_seen = {r["url_hash"] for r in engine.seen_hashes().collect()}
+    assert spark_seen == sim.seen
+    # round-level stats agree too
+    for s_spark, s_sim in zip(stats, sim_stats):
+        for k in ("round", "scheduled", "fetched", "new_urls", "pending"):
+            assert s_spark[k] == s_sim[k], (k, s_spark, s_sim)
+
+
+def test_robots_blocking(crawled):
+    """/private/ URLs are never fetched (compliance_test.go semantics)."""
+    engine, _, _ = crawled
+    log = spark_log(engine)
+    assert log, "crawl produced no log"
+    assert not any("/private/" in row[3] for row in log)
+    frontier = engine._read("frontier")
+    blocked = frontier.filter("state = 'blocked'").count()
+    assert blocked > 0  # private URLs were discovered and blocked
+
+
+def test_miss_retry_then_fail(crawled):
+    """Missing pages retry with attempts+1 then fail at max_attempts."""
+    engine, _, cfg = crawled
+    log = spark_log(engine)
+    misses = [row for row in log if row[6] == "miss"]
+    assert misses, "fixture should contain fetch misses"
+    # a missing URL appears exactly max_attempts times in the log
+    from collections import Counter
+
+    miss_counts = Counter(row[3] for row in misses)
+    assert max(miss_counts.values()) == cfg.max_attempts
+    failed = engine._read("frontier").filter("state = 'failed'").count()
+    assert failed > 0
+
+
+def test_adaptation_shrinks_budget(spark, tmp_path):
+    """A domain whose fetches all miss gets slowed (ratelimiter semantics)."""
+    pages, seeds, robots = make_web(n_hosts=2, pages_per_host=8, seed=7)
+    # drop every page of host site0 -> 100% error rate there
+    pages = [p for p in pages if "site0" not in p[0]]
+    cfg = make_cfg(max_attempts=3, max_rounds=6)
+    engine, _ = run_spark_crawl(spark, tmp_path, (pages, seeds, robots), cfg)
+
+    sim = CrawlSimulator.from_raw(pages, robots, cfg)
+    sim.run(seeds)
+    assert spark_log(engine) == sim.sorted_log()
+    # after a full-miss round, tokens drop: err=1.0 -> slowdown=4, so
+    # round-2 budget for site0's domain must be < round-1 budget
+    from collections import Counter
+
+    per_round = Counter((row[0], row[1]) for row in sim.sorted_log()
+                        if row[1] == "example.com" and row[6] == "miss")
+    if len(per_round) >= 2:
+        rounds = sorted(per_round)
+        assert per_round[rounds[1]] <= per_round[rounds[0]]
+
+
+def test_resume_after_interrupt(spark, tmp_path, web):
+    """Kill after round 2, resume in a NEW engine on the same store: final
+    log + seen set identical to the uninterrupted run."""
+    cfg = make_cfg()
+    engine1, _ = run_spark_crawl(spark, tmp_path, web, cfg,
+                                 interrupt_after=2)
+    # simulate extra uncommitted garbage from a crash mid-round-3: write a
+    # snapshot without committing the round
+    frontier_now = engine1._read("frontier")
+    engine1.store["frontier"].overwrite(frontier_now.limit(1))
+
+    pages_rows, seeds_rows, robots_texts = web
+    pages_df = spark.createDataFrame(
+        pages_rows, "url string, warc_ts timestamp, html binary, "
+                    "text string, lang string")
+    store2 = StateStore(str(tmp_path / "state"))
+    engine2 = CrawlEngine(spark, store2, pages_df, robots_texts, cfg)
+    engine2.run(seeds=None)  # resume from journal
+
+    sim = CrawlSimulator.from_raw(web[0], web[2], cfg)
+    sim.run(web[1])
+    assert spark_log(engine2) == sim.sorted_log()
+    seen2 = {r["url_hash"] for r in engine2.seen_hashes().collect()}
+    assert seen2 == sim.seen
+
+
+def test_canonicalization_collapses_dupes(crawled):
+    """Raw link forms (HOST:443, utm params, fragments, trailing slash)
+    collapse to one canonical URL — each canonical URL fetched at most
+    once."""
+    engine, _, _ = crawled
+    log = spark_log(engine)
+    fetched = [row[3] for row in log if row[6] == "fetched"]
+    assert len(fetched) == len(set(fetched))
+    assert not any("utm_" in u or "#" in u or ":443" in u for u in fetched)
