@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- entry(spark): flagship query (config-driven CSS field extraction — the
+  reference's core operation) over /root/testdata/sf0.001.
+- queries(): the full catalog from datascrapexter_spark.queries — one entry
+  per operator family in SURVEY.md §2 plus the training-data-pipeline ops.
+- oracle_sql(): the matching DuckDB SQL from datascrapexter_spark.oracles.
+  q30_crawl_rounds (iterative crawl) intentionally has no oracle: the driver
+  records a rows-only check; exact crawl-order/seen-set parity is asserted
+  by tests/test_crawl_engine.py against a sequential oracle simulator.
 """
 
 from __future__ import annotations
@@ -13,26 +16,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from datascrapexter_spark.oracles import ORACLES
+from datascrapexter_spark.queries import QUERIES, q12_field_extraction
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q12_field_extraction(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,384 @@
+"""Deduplication family for web-text corpora.
+
+The reference's deduplicator is a pass-through stub with three declared
+methods — hash / field / similarity (/root/reference/internal/pipeline/
+components.go:173-263) — so the semantics here are the standard definitions
+those names point at, implemented Spark-first:
+
+  exact          hash-groupBy keep-first (components.go "hash" method)
+  ngram_jaccard  word n-gram shingle Jaccard over a shingle equi-join
+  minhash_lsh    MinHash signatures + banded LSH candidate generation,
+                 then exact Jaccard verification of candidates only
+  simhash        frequency-weighted 32-bit SimHash + hamming-ball pairs,
+                 banded by pigeonhole chunks so candidate generation is an
+                 equi-join (no cross join at scale)
+  embedding      cosine near-duplicate pairs over an embedding column
+
+Scale notes (100 TB / 1000-executor design):
+  * Every candidate generator is an equi-join on a derived key (shingle,
+    band hash, simhash chunk) — shuffles are keyed and AQE-skew-splittable;
+    there is no cross join anywhere on the scale path.
+  * `max_shingle_doc_freq` drops stop-shingles (shingles occurring in more
+    than N documents) before the pair join; without it one boilerplate
+    shingle ("all rights reserved") creates a quadratic hot key. This is the
+    standard frequency cap and changes candidate *generation* only — pairs
+    are still verified with exact Jaccard.
+  * Signatures/fingerprints are computed with one groupBy each (map-side
+    partial aggregation applies to min()/sum()).
+  * All hashing is md5 (JVM-side, codegen) so an independent SQL engine can
+    reproduce results bit-for-bit — the correctness oracle for these ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling (shared, oracle-reproducible)
+# ---------------------------------------------------------------------------
+
+
+def tokens_col(text: Column | str, pattern: str = "[ \\t\\n\\r]+") -> Column:
+    """Whitespace tokens of trimmed text (empty text -> empty array)."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, pattern)
+    )
+
+
+def shingles_col(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as space-joined strings.
+
+    Texts shorter than n tokens yield their single (short) shingle so no
+    document silently drops out of dedup.
+    """
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, shingle) rows, distinct per document."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(text_col, n))).alias("shingle"),
+    )
+
+
+def _cap_doc_freq(ex: DataFrame, id_col: str, max_doc_freq: int | None) -> DataFrame:
+    if max_doc_freq is None:
+        return ex
+    freq = ex.groupBy("shingle").agg(F.count("*").alias("_df"))
+    keep = freq.filter(F.col("_df") <= max_doc_freq).select("shingle")
+    return ex.join(keep, "shingle", "inner")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, content_cols: list[str], order_col: str, keep: str = "first"
+) -> DataFrame:
+    """Keep one row per identical content (hash-groupBy keep-first).
+
+    Identity = md5 of the concatenated content columns (field separator
+    \\x1f so ("ab","c") != ("a","bc")). `order_col` breaks ties
+    deterministically; keep="first" keeps the minimum.
+
+    Scale: one hash-partitioned shuffle on the 128-bit digest; the fat
+    content columns never shuffle twice because the window runs on the
+    digest partition.
+    """
+    digest = F.md5(F.concat_ws("\x1f", *content_cols))
+    direction = F.col(order_col).asc() if keep == "first" else F.col(order_col).desc()
+    w = Window.partitionBy(digest).orderBy(direction)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard >= threshold.
+
+    Plan: explode distinct shingles -> self equi-join on shingle ->
+    count(common) per pair -> |A∪B| = |A|+|B|-common. Output columns:
+    (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    ex = _cap_doc_freq(_exploded_shingles(df, id_col, text_col, n), id_col,
+                       max_shingle_doc_freq)
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+
+    a = ex.select(F.col(id_col).alias("id_a"), "shingle")
+    b = ex.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature: h_s(doc) = min over shingles of md5(shingle + '#s').
+
+    md5 hex strings compare lexicographically = numerically (fixed width),
+    so min() over the hex digest is a valid min-hash; seeds are suffix
+    salts. One groupBy, num_hashes partial-aggregating min()s.
+    """
+    ex = _exploded_shingles(df, id_col, text_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{s}")))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, verified with exact Jaccard.
+
+    num_hashes = bands * rows_per_band. Two docs are *candidates* iff all
+    rows of at least one band agree (band key = md5 of the band's hashes);
+    candidates are then verified with the exact shingle Jaccard so the
+    output is exact >= threshold *within the candidate set* — the standard
+    MinHash-LSH contract (recall < 1, precision 1).
+
+    Output: (id_a, id_b, jaccard), id_a < id_b.
+
+    Scale: candidate generation is an equi-join on (band_idx, band_key);
+    identical-boilerplate bands can hot-key — AQE skew join handles
+    moderate skew, and `ngram_jaccard_pairs`'s doc-freq cap is available
+    upstream for pathological corpora.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"h{j * rows + r}") for r in range(rows)])
+                ).alias("key"),
+            )
+            for j in range(bands)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # exact verification of candidates only
+    ex = _exploded_shingles(df, id_col, text_col, n)
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    ex_a = ex.select(F.col(id_col).alias("id_a"), "shingle")
+    ex_b = ex.select(F.col(id_col).alias("id_b"), "shingle")
+    common = (
+        cand.join(ex_a, "id_a")
+        .join(ex_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def simhash_df(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """Frequency-weighted SimHash over whitespace tokens.
+
+    Token hash = first bits/4 hex chars of md5(token) read as an integer
+    (oracle-reproducible in any SQL engine). Bit b of the fingerprint is 1
+    iff sum over tokens of (+1 if token-hash bit b set else -1) > 0.
+
+    One explode + one groupBy with `bits` conditional sums — all codegen.
+    Output: (id_col, simhash bigint).
+    """
+    if bits % 4 or bits > 60:
+        raise ValueError("bits must be a multiple of 4, <= 60")
+    tok = df.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("token")
+    )
+    h = F.conv(F.substring(F.md5(F.col("token")), 1, bits // 4), 16, 10).cast("long")
+    tok = tok.withColumn("th", h)
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    summed = tok.groupBy(id_col).agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return summed.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming.
+
+    Candidate generation by pigeonhole banding: split the fingerprint into
+    `chunks` contiguous chunks; any pair within distance <= chunks-1 shares
+    at least one identical chunk, so candidates come from `chunks` equi-joins
+    (requires max_hamming <= chunks - 1). Verification = bit_count(xor).
+
+    Output: (id_a, id_b, hamming int), id_a < id_b.
+    """
+    if max_hamming > chunks - 1:
+        raise ValueError("pigeonhole banding requires max_hamming <= chunks-1")
+    if bits % chunks:
+        raise ValueError("bits must be divisible by chunks")
+    width = bits // chunks
+    mask = (1 << width) - 1
+    sh = simhash_df(df, id_col, text_col, bits)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("chunk"),
+                F.shiftright(F.col("simhash"), j * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("ckey"),
+            )
+            for j in range(chunks)
+        ]
+    )
+    buckets = sh.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunk_structs).alias("ck")
+    ).select(F.col(id_col), "simhash", F.col("ck.chunk").alias("chunk"),
+             F.col("ck.ckey").alias("ckey"))
+    a = buckets.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "ckey"
+    )
+    b = buckets.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "ckey"
+    )
+    cand = (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine_sim_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns — pure expressions
+    (sequential fold => deterministic summation order)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def as_double_array(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold.
+
+    This is the *verification-everywhere* variant (block-nested loop via
+    range self-join); at corpus scale, generate candidates first with
+    `similarity.lsh_bucket_col` and verify only within buckets.
+
+    Output: (id_a, id_b, cos double), id_a < id_b.
+    """
+    a = df.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", cosine_sim_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

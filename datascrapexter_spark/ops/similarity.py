@@ -1,0 +1,123 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+  * `cosine_topk`         exact brute-force top-k (broadcast the queries,
+                          scan the corpus once) — the correctness baseline.
+  * `ann_topk_lsh`        signed-random-projection LSH buckets: corpus and
+                          queries are bucketed by hyperplane sign bits and
+                          only same-bucket pairs are scored — the scale
+                          path (candidate generation is an equi-join).
+
+Hyperplanes are deterministic: weight(plane p, dim d) = +1 if the first
+hex digit of md5(f"plane{p}dim{d}") >= 8 else -1, computed driver-side
+(hashlib) and shipped as literal arrays — reproducible by any engine, no
+RNG state. Rademacher (+-1) hyperplanes are a standard SRP choice.
+
+Scale notes: queries are assumed small (broadcast). For corpus x corpus
+joins use dedup.embedding_neardup_pairs / bucket first. The corpus scan
+projects only (id, vec) — column pruning keeps the fat text columns out.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import as_double_array, cosine_sim_col
+
+
+def srp_plane(plane: int, dim: int) -> list[float]:
+    """Deterministic Rademacher hyperplane (+1/-1 per dimension)."""
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane{plane}dim{d}".encode()).hexdigest()
+        out.append(1.0 if int(h[0], 16) >= 8 else -1.0)
+    return out
+
+
+def lsh_bucket_col(vec: Column | str, dim: int, n_planes: int = 8) -> Column:
+    """SRP bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    v = as_double_array(vec)
+    bucket = None
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(w) for w in srp_plane(p, dim)])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return bucket.cast("int")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Exact top-k corpus neighbours per query vector by cosine.
+
+    Output: (qid, cid, cos, rank) — rank 1..k, deterministic tie-break on
+    (rounded cos desc, cid asc). Broadcast-joins the queries against the
+    corpus: one corpus scan, no shuffle of the corpus.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv")
+    )
+    cos = cosine_sim_col(F.col("qv"), F.col("cv"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = c.join(F.broadcast(q)).withColumn("cos", cos)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cos", "rank")
+    )
+
+
+def ann_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Approximate top-k: score only candidates in the query's SRP bucket.
+
+    Same output shape as `cosine_topk`; recall depends on n_planes (8 planes
+    => 256 buckets). At cluster scale the corpus is written bucketed by
+    `bucket` so the probe is a partition-pruned scan + equi-join.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        as_double_array(vec_col).alias("qv"),
+        lsh_bucket_col(vec_col, dim, n_planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        as_double_array(vec_col).alias("cv"),
+        lsh_bucket_col(vec_col, dim, n_planes).alias("bucket"),
+    )
+    cos = cosine_sim_col(F.col("qv"), F.col("cv"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = c.join(F.broadcast(q), "bucket").withColumn("cos", cos)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cos", "rank")
+    )

@@ -1,0 +1,124 @@
+"""Text analysis for web-text corpora: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure Column expressions (whole-stage codegen; zero Python) and all
+reproducible by an independent SQL engine — that is the correctness oracle.
+The text-normalization semantics reuse the reference's CleanString family
+(/root/reference/internal/utils/utils.go:57-107) where applicable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+# Top-frequency function words per language — a deterministic n-gram-free
+# language-ID heuristic: score = |distinct tokens ∩ stopwords(lang)|,
+# argmax with fixed tie order (en > de > fr > es > unknown).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "an", "and", "of", "to", "in", "is", "it", "that",
+           "for", "on", "with", "as", "at", "by", "this", "are", "was", "be"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+           "zu", "den", "von", "für", "auf", "im", "dem", "sich", "auch"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "un", "une", "des", "du",
+           "en", "que", "qui", "dans", "pour", "sur", "avec", "au", "ce"),
+    "es": ("el", "la", "los", "las", "y", "es", "no", "un", "una", "de",
+           "que", "en", "por", "para", "con", "su", "se", "del", "al"),
+}
+LANG_ORDER = ("en", "de", "fr", "es")
+
+
+def token_count_col(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text))
+
+
+# BPE-ish pre-tokenizer: word pieces OR single non-word-non-space symbols —
+# the standard GPT-2-style pre-split shape, count only.
+BPE_ISH_PATTERN = r"\w+|[^\w\s]"
+
+
+def bpe_token_count_col(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def lang_scores_col(text: Column | str) -> dict[str, Column]:
+    """Per-language stopword-overlap scores over distinct lowercase tokens."""
+    toks = F.array_distinct(tokens_col(F.lower(F.col(text) if isinstance(text, str) else text)))
+    return {
+        lang: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def lang_id_col(text: Column | str) -> Column:
+    """argmax language, 'unknown' when no stopword hits at all.
+
+    A WHEN-cascade in LANG_ORDER: the first language whose score is positive
+    and >= all later languages wins, so ties resolve to the earlier language.
+    """
+    s = lang_scores_col(text)
+    expr = None
+    for i, lang in enumerate(LANG_ORDER):
+        cond = s[lang] > 0
+        for other in LANG_ORDER[i + 1:]:
+            cond = cond & (s[lang] >= s[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("unknown"))
+
+
+def quality_columns(text: Column | str, round_to: int = 6) -> dict[str, Column]:
+    """Deterministic quality features (the usual pre-training filters):
+
+      n_chars_obs     observed character count
+      n_tokens        whitespace tokens
+      mean_token_len  avg token length
+      alpha_ratio     fraction of chars that are ascii letters or space
+      stopword_ratio  english stopword tokens / tokens
+      quality_score   product-form score in [0,1]
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens_col(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    mean_tok = F.length(F.regexp_replace(c, "[ \\t\\n\\r]", "")) / safe_tokens
+    alpha = F.length(F.regexp_replace(c, "[^a-zA-Z ]", "")) / F.greatest(n_chars, F.lit(1))
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(en, F.lower(t))))
+    stop_ratio = stop_hits / safe_tokens
+    # score: length band [20, 100k] chars, token len band [2, 12], some alpha
+    len_ok = (n_chars >= 20) & (n_chars <= 100000)
+    tok_ok = (mean_tok >= 2.0) & (mean_tok <= 12.0)
+    score = (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(tok_ok, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.least(alpha, F.lit(1.0)) * 0.3
+    )
+    return {
+        "n_chars_obs": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": F.round(mean_tok, round_to).cast("double"),
+        "alpha_ratio": F.round(alpha, round_to).cast("double"),
+        "stopword_ratio": F.round(stop_ratio, round_to).cast("double"),
+        "quality_score": F.round(score, round_to).cast("double"),
+    }
+
+
+def normalize_text_col(text: Column | str) -> Column:
+    """Lowercase + collapse ASCII whitespace + trim — the fingerprint's
+    canonical form (CleanString-style, utils.go:57-75 minus entity work)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.trim(F.regexp_replace(F.lower(c), "[ \\t\\n\\r]+", " "))
+
+
+def fingerprint_col(text: Column | str, hex_chars: int = 16) -> Column:
+    """Content fingerprint: leading hex of md5(normalized text).
+
+    16 hex chars = 64 bits — collision-safe for dedup bucketing at 10^10
+    docs only as a *prefilter*; exact dedup still compares full digests.
+    """
+    return F.substring(F.md5(normalize_text_col(text)), 1, hex_chars)

@@ -1,0 +1,388 @@
+"""DuckDB oracle SQL for every query in queries.QUERIES (minus the iterative
+crawl, which the driver checks rows-only and pytest checks exactly).
+
+Every oracle recomputes the query's result from the raw parquet views using
+only engine-portable constructs: md5 for all content hashing (bit-identical
+across engines), integer arithmetic for fakes/buckets, round(x, n) applied
+identically on both sides wherever float summation order could differ.
+
+The hash-heavy oracles (minhash / simhash / SRP buckets) are generated
+programmatically so the constants provably match the Spark operators.
+"""
+
+from __future__ import annotations
+
+from .ops.similarity import srp_plane
+from .ops.textstats import STOPWORDS
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_AUG = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000, text || ' qqzz' FROM documents"
+)
+
+# word-3-gram shingles, distinct per doc (matches ops.dedup.shingles_col)
+_SHINGLES = r"""
+tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '[ {t}{n}{r}]+') AS toks FROM aug),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM tok
+)""".replace("{t}", "\t").replace("{n}", "\n").replace("{r}", "\r")
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5(shingle || '#{s}')) AS h{s}" for s in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, md5(concat_ws('|', {cols})) AS key FROM sig".format(
+            j=j, cols=", ".join(f"h{j * rows + r}" for r in range(rows))
+        )
+        for j in range(bands)
+    )
+    return f"""
+WITH aug AS ({_AUG}),
+{_SHINGLES},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+ov AS (
+  SELECT c.id_a, c.id_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+),
+j AS (
+  SELECT ov.id_a, ov.id_b,
+         ov.n_common::DOUBLE / (na.n_sh + nb.n_sh - ov.n_common) AS jac
+  FROM ov
+  JOIN sizes na ON na.doc_id = ov.id_a
+  JOIN sizes nb ON nb.doc_id = ov.id_b
+)
+SELECT id_a, id_b, round(jac, 6)::DOUBLE AS jaccard FROM j WHERE jac >= {threshold}
+"""
+
+
+def _ngram_jaccard_sql(threshold: float = 0.6) -> str:
+    return f"""
+WITH aug AS ({_AUG}),
+{_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+ov AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT ov.id_a, ov.id_b,
+         ov.n_common::DOUBLE / (na.n_sh + nb.n_sh - ov.n_common) AS jac
+  FROM ov
+  JOIN sizes na ON na.doc_id = ov.id_a
+  JOIN sizes nb ON nb.doc_id = ov.id_b
+)
+SELECT id_a, id_b, round(jac, 6)::DOUBLE AS jaccard FROM j WHERE jac >= {threshold}
+"""
+
+
+def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    recompose = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+WITH aug AS ({_AUG}),
+tok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[ \t\n\r]+')) AS token FROM aug),
+th AS (SELECT doc_id, ('0x' || substr(md5(token), 1, {bits // 4}))::BIGINT AS h FROM tok),
+sums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+fp AS (SELECT doc_id, ({recompose})::BIGINT AS simhash FROM sums)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+# exploded embedding vectors with 1-based dim index
+_EMB_EXPLODED = """
+e AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+)"""
+
+
+def _cosine_topk_sql(k: int = 5, n_queries: int = 10) -> str:
+    return f"""
+WITH {_EMB_EXPLODED},
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+d AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.v * c.v) AS dot
+  FROM e q JOIN e c USING (i)
+  WHERE q.vec_id < {n_queries}
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6)::DOUBLE AS cos
+  FROM d JOIN n nq ON nq.vec_id = d.qid JOIN n nc ON nc.vec_id = d.cid
+),
+r AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC)::INT AS rank
+  FROM s
+)
+SELECT qid, cid, cos, rank FROM r WHERE rank <= {k}
+"""
+
+
+def _ann_lsh_sql(dim: int, k: int = 5, n_queries: int = 10,
+                 n_planes: int = 8) -> str:
+    plane_terms = []
+    for p in range(n_planes):
+        arr = ", ".join(str(w) for w in srp_plane(p, dim))
+        plane_terms.append(
+            f"CASE WHEN sum(v * (([{arr}])::DOUBLE[])[i]) > 0 THEN {1 << p} ELSE 0 END"
+        )
+    bucket_expr = " + ".join(plane_terms)
+    return f"""
+WITH {_EMB_EXPLODED},
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+bk AS (SELECT vec_id, ({bucket_expr})::INT AS bucket FROM e GROUP BY vec_id),
+d AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid, sum(q.v * c.v) AS dot
+  FROM e q
+  JOIN bk bq ON bq.vec_id = q.vec_id
+  JOIN bk bc ON bc.bucket = bq.bucket
+  JOIN e c ON c.vec_id = bc.vec_id AND c.i = q.i
+  WHERE q.vec_id < {n_queries}
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT qid, cid, round(dot / (nq.nrm * nc.nrm), 6)::DOUBLE AS cos
+  FROM d JOIN n nq ON nq.vec_id = d.qid JOIN n nc ON nc.vec_id = d.cid
+),
+r AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC)::INT AS rank
+  FROM s
+)
+SELECT qid, cid, cos, rank FROM r WHERE rank <= {k}
+"""
+
+
+def _text_stats_sql() -> str:
+    def lst(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+    score = " ".join(
+        f"WHEN s_{lang} > 0 "
+        + " ".join(
+            f"AND s_{lang} >= s_{other}"
+            for other in ("en", "de", "fr", "es")
+            if other != lang and ("en", "de", "fr", "es").index(other) > ("en", "de", "fr", "es").index(lang)
+        )
+        + f" THEN '{lang}'"
+        for lang in ("en", "de", "fr", "es")
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '[ \t\n\r]+') AS toks,
+         length(text) AS n_chars_obs
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, text, toks, n_chars_obs,
+         len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+')), {lst('en')})) AS s_en,
+         len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+')), {lst('de')})) AS s_de,
+         len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+')), {lst('fr')})) AS s_fr,
+         len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+')), {lst('es')})) AS s_es,
+         len(toks) AS n_tok,
+         length(regexp_replace(text, '[ \t\n\r]', '', 'g'))::DOUBLE
+           / greatest(len(toks), 1) AS mean_tok,
+         length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS alpha,
+         len(list_filter(toks, x -> list_contains({lst('en')}, lower(x))))::DOUBLE
+           / greatest(len(toks), 1) AS stop_ratio
+  FROM t
+)
+SELECT doc_id,
+       CASE {score} ELSE 'unknown' END AS lang_pred,
+       n_tok::BIGINT AS n_tokens_ws,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT AS n_tokens_bpe,
+       round(mean_tok, 6)::DOUBLE AS mean_token_len,
+       round(alpha, 6)::DOUBLE AS alpha_ratio,
+       round(stop_ratio, 6)::DOUBLE AS stopword_ratio,
+       round(
+         (CASE WHEN n_chars_obs >= 20 AND n_chars_obs <= 100000 THEN 0.4 ELSE 0.0 END)
+         + (CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0 THEN 0.3 ELSE 0.0 END)
+         + least(alpha, 1.0) * 0.3, 6)::DOUBLE AS quality_score,
+       substr(md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))), 1, 16) AS fingerprint
+FROM sc
+"""
+
+
+# ---------------------------------------------------------------------------
+# the catalog
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)::DOUBLE AS sum_qty,
+       round(sum(l_extendedprice), 2)::DOUBLE AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS sum_disc_price,
+       round(avg(l_quantity), 4)::DOUBLE AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+    "q02_revenue_by_nation": """
+SELECT r_name, n_name,
+       round(sum(o_totalprice), 2)::DOUBLE AS revenue,
+       count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    "q03_top_orders_per_segment": """
+SELECT c_mktsegment, rank, o_orderkey, o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC)::INT AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+WHERE rank <= 3
+""",
+    "q04_priority_distribution": """
+SELECT o_orderpriority, count(*) AS n,
+       round(count(*)::DOUBLE / (SELECT count(*) FROM orders), 6)::DOUBLE AS pct
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    "q05_events_hourly": """
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS bucket_us,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2)::DOUBLE AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    "q06_viewers_no_purchase": """
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'click' AND value > 300
+AND user_id NOT IN (SELECT user_id FROM events
+                    WHERE event_type = 'purchase' AND value > 300)
+""",
+    "q07_brand_revenue": """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand
+""",
+    "q08_user_sessions": """
+WITH o AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         sum(CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+           AS session_id
+  FROM o
+),
+p AS (SELECT user_id, session_id, count(*) AS n_ev FROM s GROUP BY 1, 2)
+SELECT user_id, max(session_id)::BIGINT AS n_sessions,
+       max(n_ev) AS max_session_events
+FROM p GROUP BY user_id
+""",
+    "q09_event_props_json": """
+WITH e AS (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events)
+SELECT event_type,
+       round(avg(k), 6)::DOUBLE AS avg_k,
+       max(k) AS max_k,
+       count(*) FILTER (WHERE k > 50) AS n_high
+FROM e GROUP BY event_type
+""",
+    "q10_url_canonicalize": """
+SELECT o_orderkey,
+       'https://www.shop' || (o_custkey % 50) || '.example.com/orders/'
+         || o_orderkey || '?a=1&b=2' AS url_canon,
+       'www.shop' || (o_custkey % 50) || '.example.com' AS host,
+       'example.com' AS domain
+FROM orders
+""",
+    "q11_transform_chains": """
+SELECT p_partkey,
+       upper(regexp_replace(trim(p_name), '[\t\n\f\r ]+', ' ', 'g')) AS name_norm,
+       coalesce(nullif(regexp_extract(p_brand, '\\d+(?:\\.\\d+)?', 0), ''), '0') AS brand_num,
+       replace(p_brand, '#', '-') AS brand_dash,
+       CASE WHEN length(p_name) >= 20 THEN p_name
+            ELSE lpad(p_name, 20, '*') END AS name_padded
+FROM part
+""",
+    "q12_field_extraction": """
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       upper(source) AS heading,
+       trim(substr(text, 1, 50)) AS description,
+       ((n_chars::VARCHAR) || '.99')::DOUBLE AS price,
+       2::INT AS link_count,
+       TRUE AS has_price
+FROM documents
+""",
+    "q13_dedup_exact": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents
+),
+r AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM corpus
+)
+SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
+""",
+    "q14_minhash_lsh": _minhash_sql(16, 4, 0.5),
+    "q15_ngram_jaccard": _ngram_jaccard_sql(0.6),
+    "q16_simhash": _simhash_sql(32, 3),
+    "q17_embedding_topk": _cosine_topk_sql(5, 10),
+    "q18_ann_lsh": _ann_lsh_sql(64, 5, 10, 8),
+    "q19_text_stats": _text_stats_sql(),
+    "q20_multimodal_meta": """
+WITH m AS (SELECT doc_id, strlen(text) AS n FROM documents)
+SELECT doc_id,
+       n::BIGINT AS byte_len,
+       (64 + (n % 577))::INT AS width,
+       (64 + ((n * 31) % 433))::INT AS height,
+       (1 + (n % 7))::INT AS n_frames,
+       ((1 + (n % 7) + 1) // 2)::BIGINT AS n_sampled_frames
+FROM m
+""",
+    # q30_crawl_rounds: iterative crawl — no SQL oracle (rows-only check);
+    # exact order/seen-set parity is asserted by tests/test_crawl_engine.py.
+}

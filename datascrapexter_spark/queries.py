@@ -1,0 +1,468 @@
+"""Query catalog: every operator family from SURVEY.md §2 as a named query
+over the driver-generated testdata tables, each paired with an independent
+ANSI-SQL oracle (DuckDB dialect) computing the same result.
+
+Contract (driver): QUERIES[name](spark, sf_dir) -> DataFrame must match
+ORACLES[name] run by DuckDB on the same parquet files — row count, schema,
+and order-insensitive value hash. Column names/types are aligned on both
+sides; doubles are rounded identically; hashing inside operators is md5 so
+both engines compute bit-identical values.
+
+Queries without an oracle entry (the iterative crawl engine) get the
+driver's weaker rows-only check; their exactness is covered by the pytest
+fixtures instead (tests/test_crawl_engine.py oracle simulator).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .extract.config import FieldConfig
+from .extract.engine import extract_fields_df
+from .functions.transforms import compile_chain
+from .functions.urlnorm import (
+    extract_domain_udf,
+    normalize_url_udf,
+    registered_domain_udf,
+)
+from .ops import dedup, similarity, textstats
+
+EMB_DIM = 64
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _us(c: Column) -> Column:
+    """Epoch microseconds of a (possibly NTZ) timestamp under UTC session tz —
+    matches DuckDB epoch_us over naive parquet timestamps."""
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
+# =============================================================================
+# Relational core (scan/filter/project/join/agg/window/sort/set ops)
+# =============================================================================
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filtered scan -> groupBy agg (map-side partials)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q02_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join with broadcast dims -> agg. nation/region are tiny: explicit
+    broadcast keeps the big side shuffle-free."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q03_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per key (the politeness-budget primitive, relationally)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+def q04_priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global agg + computed ratio + sort (JobPriority ordering analog)."""
+    orders = load(spark, sf_dir, "orders")
+    total = orders.count()
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .withColumn("pct", F.round(F.col("n") / F.lit(total), 6))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q05_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window agg (streaming-adjacent, batch form)."""
+    _utc(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            _us(F.col("w.start")).alias("bucket_us"),
+            "event_type", "n_events", "sum_value",
+        )
+    )
+
+
+def q06_viewers_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: distinct viewers EXCEPT purchasers (left_anti — the URL-seen
+    dedup primitive, relationally)."""
+    ev = load(spark, sf_dir, "events")
+    clickers = (
+        ev.filter((F.col("event_type") == "click") & (F.col("value") > 300))
+        .select("user_id").distinct()
+    )
+    big_buyers = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 300))
+        .select("user_id").distinct()
+    )
+    return clickers.join(big_buyers, "user_id", "left_anti")
+
+
+def q07_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact x 2 broadcast dims -> agg with expression inside."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q08_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + cumulative sum windows (30-min gap rule)."""
+    _utc(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = _us(F.col("ts")) - _us(F.lag("ts").over(w))
+    new_sess = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_sess = ev.withColumn("session_id", F.sum(new_sess).over(wsum))
+    per_sess = with_sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_ev")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.max("session_id").cast("long").alias("n_sessions"),
+        F.max("n_ev").alias("max_session_events"),
+    )
+
+
+def q09_event_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (the reference's `json` field type surface)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+        )
+    )
+
+
+# =============================================================================
+# Engine surface: URL canonicalization, transforms, HTML field extraction
+# =============================================================================
+
+
+def q10_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frontier's canonicalization core (NormalizeURL parity UDF) over
+    synthesized raw URLs: mixed-case host, default port, tracking + unsorted
+    params, fragment, trailing slash."""
+    orders = load(spark, sf_dir, "orders")
+    raw = F.concat(
+        F.lit("HTTPS://WWW.Shop"),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.lit(".Example.COM:443/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("/?utm_source=feed&ref=x&b=2&a=1#frag"),
+    )
+    df = orders.select("o_orderkey", raw.alias("url_raw"))
+    df = df.withColumn("url_canon", normalize_url_udf("url_raw"))
+    df = df.withColumn("host", extract_domain_udf("url_canon"))
+    df = df.withColumn("domain", registered_domain_udf("host"))
+    return df.select("o_orderkey", "url_canon", "host", "domain")
+
+
+def q11_transform_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's transform chains (pipeline/types.go:48-281), compiled:
+    native Catalyst chains for codegen-expressible rules, the Arrow-UDF exact
+    port for the rest (pad_left is byte-based -> UDF path)."""
+    part = load(spark, sf_dir, "part")
+    name_norm = compile_chain(
+        [{"type": "trim"}, {"type": "normalize_spaces"}, {"type": "uppercase"}]
+    )
+    brand_num = compile_chain([{"type": "extract_numbers"}])
+    brand_dash = compile_chain(
+        [{"type": "replace", "pattern": "#", "replacement": "-"}]
+    )
+    name_padded = compile_chain(
+        [{"type": "pad_left", "params": {"length": 20, "char": "*"}}]
+    )
+    return part.select(
+        "p_partkey",
+        name_norm(F.col("p_name")).alias("name_norm"),
+        brand_num(F.col("p_brand")).alias("brand_num"),
+        brand_dash(F.col("p_brand")).alias("brand_dash"),
+        name_padded(F.col("p_name")).alias("name_padded"),
+    )
+
+
+def _doc_html_col() -> Column:
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit('</title></head><body><h1 class="title">'),
+        F.upper(F.col("source")),
+        F.lit('</h1><p class="description">'),
+        F.substring(F.col("text"), 1, 50),
+        F.lit('</p><span class="price">$'),
+        F.col("n_chars").cast("string"),
+        F.lit('.99</span><a href="/d/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">self</a><a href="/d/'),
+        (F.col("doc_id") + 1).cast("string"),
+        F.lit('">next</a></body></html>'),
+    )
+
+
+def q12_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-driven CSS field extraction (the reference's core query):
+    one mapInPandas pass, schema derived from the field config at plan time."""
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _doc_html_col().alias("html"))
+    fields = [
+        FieldConfig(name="title", selector="title", type="text"),
+        FieldConfig(name="heading", selector="h1.title", type="text"),
+        FieldConfig(name="description", selector="p.description", type="text"),
+        FieldConfig(name="price", selector=".price", type="number"),
+        FieldConfig(name="link_count", selector="a", type="count"),
+        FieldConfig(name="has_price", selector=".price", type="exists"),
+    ]
+    out = extract_fields_df(pages, fields)
+    return out.select(
+        "doc_id", "title", "heading", "description", "price",
+        "link_count", "has_price",
+    )
+
+
+# =============================================================================
+# Training-data pipeline: dedup family, similarity, text analysis, multimodal
+# =============================================================================
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents UNION a near-duplicate of each doc (one appended token,
+    shifted ids) — the dedup-family test corpus, reproducible in SQL."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" qqzz")).alias("text"),
+    )
+    return docs.unionByName(mutated)
+
+
+def q13_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 hash-groupBy keep-first over an exact-duplicated
+    corpus (each doc twice under different ids -> keep min id)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.unionByName(dup)
+    kept = dedup.exact_dedup(corpus, ["text"], order_col="doc_id")
+    return kept.select("doc_id", F.md5("text").alias("digest"))
+
+
+def q14_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 md5 min-hashes) + banded LSH (4 bands) candidate pairs,
+    verified with exact shingle Jaccard >= 0.5."""
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        aug, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(aug, "doc_id", "text", n=3, threshold=0.6)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q16_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit frequency-weighted SimHash; hamming <= 3 pairs via pigeonhole
+    chunk banding (4 x 8-bit equi-joins, no cross join)."""
+    aug = _augmented_docs(spark, sf_dir)
+    return dedup.simhash_pairs(
+        aug, "doc_id", "text", bits=32, max_hamming=3, chunks=4
+    )
+
+
+def q17_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for the first 10 query vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.cosine_topk(emb, queries, k=5)
+
+
+def q18_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN top-5 (deterministic md5-derived hyperplanes)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ann_topk_lsh(emb, queries, dim=EMB_DIM, k=5, n_planes=8)
+
+
+def q19_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID, quality scores, token counts, fingerprint — one pass,
+    all codegen expressions."""
+    docs = load(spark, sf_dir, "documents")
+    qc = textstats.quality_columns("text")
+    return docs.select(
+        "doc_id",
+        textstats.lang_id_col("text").alias("lang_pred"),
+        textstats.token_count_col("text").cast("long").alias("n_tokens_ws"),
+        textstats.bpe_token_count_col("text").cast("long").alias("n_tokens_bpe"),
+        qc["mean_token_len"].alias("mean_token_len"),
+        qc["alpha_ratio"].alias("alpha_ratio"),
+        qc["stopword_ratio"].alias("stopword_ratio"),
+        qc["quality_score"].alias("quality_score"),
+        textstats.fingerprint_col("text").alias("fingerprint"),
+    )
+
+
+def q20_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload column -> mapInPandas decode
+    (deterministic fake codec) -> typed metadata + frame sampling."""
+    docs = load(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    from .ops.multimodal import decode_media_df, sample_frames_df
+
+    meta = decode_media_df(with_payload, "payload", fake=True)
+    frames = sample_frames_df(meta, every_nth=2)
+    return frames.groupBy("doc_id", "byte_len", "width", "height", "n_frames").agg(
+        F.count("*").alias("n_sampled_frames")
+    )
+
+
+# =============================================================================
+# Crawl engine end-to-end (iterative; rows-only driver check — exactness is
+# covered by the pytest oracle simulator)
+# =============================================================================
+
+
+def q30_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 crawl rounds over a synthetic web derived from `documents`: pages
+    link /d/{id} -> /d/{id+20} (chain per host) and a cross link; robots
+    disallow /x/ paths on every host; each host is its own registered
+    domain so politeness budgets apply per host. Returns the crawl log."""
+    from .frontier.scheduler import CrawlConfig, CrawlEngine
+    from .frontier.state import StateStore
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".ex"), (F.col("doc_id") % 20).cast("string"),
+                    F.lit(".com"))
+    url = F.concat(F.lit("https://"), host, F.lit("/d/"),
+                   F.col("doc_id").cast("string"))
+    next_link = F.concat(F.lit('<a href="/d/'),
+                         (F.col("doc_id") + 20).cast("string"), F.lit('">n</a>'))
+    cross_link = F.concat(F.lit('<a href="https://'), host, F.lit("/d/"),
+                          ((F.col("doc_id") * 7) % 200).cast("string"),
+                          F.lit('">x</a>'))
+    blocked_link = F.lit('<a href="/x/secret">s</a>')
+    html = F.concat(
+        F.lit("<html><body><h1>D"), F.col("doc_id").cast("string"),
+        F.lit("</h1>"), next_link, cross_link, blocked_link,
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        url.alias("url"),
+        F.lit("2024-03-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    robots = {
+        f"h{i}.ex{i}.com": "User-agent: *\nDisallow: /x/\nCrawl-delay: 1\n"
+        for i in range(20)
+    }
+    seeds = spark.createDataFrame(
+        [(f"https://h{i}.ex{i}.com/d/{i}", 10) for i in range(20)],
+        "url string, priority int",
+    )
+    root = tempfile.mkdtemp(prefix="crawlq_")
+    eng = CrawlEngine(spark, StateStore(root), pages, robots,
+                      CrawlConfig(max_rounds=3, max_attempts=2))
+    eng.run(seeds, max_rounds=3)
+    return eng.crawl_log()
+
+
+# =============================================================================
+# Registry
+# =============================================================================
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_top_orders_per_segment": q03_top_orders_per_segment,
+    "q04_priority_distribution": q04_priority_distribution,
+    "q05_events_hourly": q05_events_hourly,
+    "q06_viewers_no_purchase": q06_viewers_no_purchase,
+    "q07_brand_revenue": q07_brand_revenue,
+    "q08_user_sessions": q08_user_sessions,
+    "q09_event_props_json": q09_event_props_json,
+    "q10_url_canonicalize": q10_url_canonicalize,
+    "q11_transform_chains": q11_transform_chains,
+    "q12_field_extraction": q12_field_extraction,
+    "q13_dedup_exact": q13_dedup_exact,
+    "q14_minhash_lsh": q14_minhash_lsh,
+    "q15_ngram_jaccard": q15_ngram_jaccard,
+    "q16_simhash": q16_simhash,
+    "q17_embedding_topk": q17_embedding_topk,
+    "q18_ann_lsh": q18_ann_lsh,
+    "q19_text_stats": q19_text_stats,
+    "q20_multimodal_meta": q20_multimodal_meta,
+    "q30_crawl_rounds": q30_crawl_rounds,
+}

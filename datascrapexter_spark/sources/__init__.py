@@ -1,0 +1,4 @@
+"""Sources & sinks: the reference's output manager re-expressed as
+DataFrame writers (internal/output/manager.go:50-79 dispatch)."""
+
+from .sinks import write_output  # noqa: F401
