@@ -39,10 +39,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.urlnorm import (
-    extract_domain_udf,
+    canonicalize_struct_udf,
     normalize_url_udf,
     registered_domain,
-    registered_domain_udf,
 )
 from .bloom import BloomShards, build_bitset
 from .links import extract_links_df
@@ -121,11 +120,14 @@ class CrawlEngine:
         )
 
     def _frontier_rows(self, urls: DataFrame, priority_col, round_no: int) -> DataFrame:
-        """url column -> full frontier-schema rows."""
+        """url column -> full frontier-schema rows (one fused Arrow pass for
+        host/domain; canonicalization is idempotent on url_canon)."""
         return (
             urls.withColumn("url_hash", F.xxhash64("url_canon"))
-            .withColumn("host", extract_domain_udf("url_canon"))
-            .withColumn("domain", registered_domain_udf("host"))
+            .withColumn("c", canonicalize_struct_udf("url_canon"))
+            .withColumn("host", F.col("c.host"))
+            .withColumn("domain", F.col("c.domain"))
+            .drop("c")
             .withColumn("priority", priority_col.cast("int"))
             .withColumn("attempts", F.lit(0))
             .withColumn("round_added", F.lit(round_no))
@@ -289,7 +291,12 @@ class CrawlEngine:
         )
         candidates = links.select(
             F.col("out_url_canon").alias("url_canon")).distinct()
-        candidates = candidates.withColumn("host", extract_domain_udf("url_canon"))
+        candidates = (
+            candidates.withColumn("c", canonicalize_struct_udf("url_canon"))
+            .withColumn("host", F.col("c.host"))
+            .withColumn("cand_domain", F.col("c.domain"))
+            .drop("c")
+        )
         if self.allowed_hosts is not None:
             hosts_df = self.spark.createDataFrame(
                 [(h,) for h in sorted(self.allowed_hosts)], "host string")
@@ -311,7 +318,7 @@ class CrawlEngine:
         confirmed_new = needs_check.join(url_seen, "url_hash", "left_anti")
         new_urls = definite_new.unionByName(confirmed_new)
         new_rows = (
-            new_urls.withColumn("domain", registered_domain_udf("host"))
+            new_urls.withColumnRenamed("cand_domain", "domain")
             .withColumn("priority", F.lit(cfg.default_priority))
             .withColumn("attempts", F.lit(0))
             .withColumn("round_added", F.lit(round_no))

@@ -30,7 +30,7 @@ from urllib.parse import quote, quote_plus, urljoin, urlsplit
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import StringType, StructField, StructType
 
 TRACKING_PARAMS = frozenset(
     {"utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
@@ -38,6 +38,15 @@ TRACKING_PARAMS = frozenset(
 )
 
 _SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*$")
+
+# Fast-path identity checks (pure optimization, exact semantics preserved):
+# unquote_plus(s) == s when s has no '%' and no '+'; quote_plus(s, safe='')
+# == s when every char is unreserved; quote(path, _PATH_SAFE) == path when
+# every char is in the safe+unreserved set.
+_NO_UNESCAPE_RE = re.compile(r"^[^%+]*$")
+_QP_IDENTITY_RE = re.compile(r"^[A-Za-z0-9\-_.~]*$")
+_PATH_SAFE = "/%:@!$&'()*+,;=~-._"
+_PATH_IDENTITY_RE = re.compile(r"^[A-Za-z0-9/%:@!$&'()*+,;=~\-._]*$")
 
 
 def _parse_query_pairs(raw_query: str) -> list[tuple[str, str]]:
@@ -61,9 +70,15 @@ def _parse_query_pairs(raw_query: str) -> list[tuple[str, str]]:
 
 def _unescape_query(s: str) -> str:
     # query unescape: '+' means space, %XX decoded
+    if _NO_UNESCAPE_RE.match(s):
+        return s
     from urllib.parse import unquote_plus
 
     return unquote_plus(s, errors="replace")
+
+
+def _quote_plus_fast(s: str) -> str:
+    return s if _QP_IDENTITY_RE.match(s) else quote_plus(s, safe="")
 
 
 def _encode_query(pairs: list[tuple[str, str]]) -> str:
@@ -73,9 +88,9 @@ def _encode_query(pairs: list[tuple[str, str]]) -> str:
         by_key.setdefault(k, []).append(v)
     parts = []
     for k in sorted(by_key):
-        ek = quote_plus(k, safe="")
+        ek = _quote_plus_fast(k)
         for v in by_key[k]:
-            parts.append(f"{ek}={quote_plus(v, safe='')}")
+            parts.append(f"{ek}={_quote_plus_fast(v)}")
     return "&".join(parts)
 
 
@@ -115,7 +130,7 @@ def normalize_url(raw_url: str) -> str:
     if netloc or scheme in ("http", "https"):
         out += "//" + netloc
     # Go re-escapes the path minimally; our fixture URLs use path-safe chars.
-    out += quote(path, safe="/%:@!$&'()*+,;=~-._")
+    out += path if _PATH_IDENTITY_RE.match(path) else quote(path, safe=_PATH_SAFE)
     if query:
         out += "?" + query
     return out
@@ -185,17 +200,26 @@ def is_valid_url(s: str) -> bool:
 
 @pandas_udf(StringType())
 def normalize_url_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(lambda s: normalize_url(s) if s is not None else None)
+    return pd.Series(
+        [normalize_url(s) if s is not None else None for s in urls.tolist()],
+        dtype="object",
+    )
 
 
 @pandas_udf(StringType())
 def extract_domain_udf(urls: pd.Series) -> pd.Series:
-    return urls.map(lambda s: extract_domain(s) if s is not None else None)
+    return pd.Series(
+        [extract_domain(s) if s is not None else None for s in urls.tolist()],
+        dtype="object",
+    )
 
 
 @pandas_udf(StringType())
 def registered_domain_udf(hosts: pd.Series) -> pd.Series:
-    return hosts.map(lambda s: registered_domain(s) if s is not None else None)
+    return pd.Series(
+        [registered_domain(s) if s is not None else None for s in hosts.tolist()],
+        dtype="object",
+    )
 
 
 @pandas_udf(StringType())
@@ -203,6 +227,51 @@ def resolve_url_udf(base: pd.Series, rel: pd.Series) -> pd.Series:
     return pd.Series(
         [resolve_url(b, r) for b, r in zip(base, rel)], dtype="object"
     )
+
+
+_PORT_SUFFIX_RE = re.compile(r":\d*$")
+
+
+def _hostname_from_netloc(netloc: str) -> str:
+    """hostname (no userinfo/port/brackets) from an already-lowercased
+    netloc — same result as urlsplit().hostname without a reparse."""
+    if "@" in netloc:
+        netloc = netloc.rsplit("@", 1)[1]
+    if netloc.startswith("["):
+        end = netloc.find("]")
+        return netloc[1:end] if end != -1 else netloc[1:]
+    return _PORT_SUFFIX_RE.sub("", netloc)
+
+
+def canonicalize_parts(raw_url: str) -> tuple[str, str, str]:
+    """(url_canon, host, registered_domain) with ONE parse — the fused
+    frontier fast path (identical results to normalize_url + extract_domain
+    + registered_domain composed; asserted by tests)."""
+    canon = normalize_url(raw_url)
+    if canon is None:
+        return None, None, None
+    try:
+        netloc = urlsplit(canon).netloc.lower()
+    except ValueError:
+        return canon, "", ""
+    host = _hostname_from_netloc(netloc)
+    return canon, host, registered_domain(host)
+
+
+CANON_STRUCT_SCHEMA = StructType([
+    StructField("url_canon", StringType()),
+    StructField("host", StringType()),
+    StructField("domain", StringType()),
+])
+
+
+@pandas_udf(CANON_STRUCT_SCHEMA)
+def canonicalize_struct_udf(urls: pd.Series) -> pd.DataFrame:
+    rows = [
+        canonicalize_parts(s) if s is not None else (None, None, None)
+        for s in urls.tolist()
+    ]
+    return pd.DataFrame(rows, columns=["url_canon", "host", "domain"])
 
 
 def is_valid_url_col(col):

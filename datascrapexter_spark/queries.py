@@ -24,11 +24,7 @@ from pyspark.sql import functions as F
 from .extract.config import FieldConfig
 from .extract.engine import extract_fields_df
 from .functions.transforms import compile_chain
-from .functions.urlnorm import (
-    extract_domain_udf,
-    normalize_url_udf,
-    registered_domain_udf,
-)
+from .functions.urlnorm import canonicalize_struct_udf
 from .ops import dedup, similarity, textstats
 
 EMB_DIM = 64
@@ -215,11 +211,10 @@ def q10_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").cast("string"),
         F.lit("/?utm_source=feed&ref=x&b=2&a=1#frag"),
     )
-    df = orders.select("o_orderkey", raw.alias("url_raw"))
-    df = df.withColumn("url_canon", normalize_url_udf("url_raw"))
-    df = df.withColumn("host", extract_domain_udf("url_canon"))
-    df = df.withColumn("domain", registered_domain_udf("host"))
-    return df.select("o_orderkey", "url_canon", "host", "domain")
+    df = orders.select(
+        "o_orderkey", canonicalize_struct_udf(raw).alias("c")
+    )
+    return df.select("o_orderkey", "c.url_canon", "c.host", "c.domain")
 
 
 def q11_transform_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
