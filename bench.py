@@ -33,8 +33,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
 
 BENCH_QUERIES = [
     "q01_pricing_summary",
@@ -56,10 +58,23 @@ URL_MULT = int(os.environ.get("SPARK_GRAFT_URL_MULT", "10"))
 def _session(cpus: int) -> SparkSession:
     from datascrapexter_spark.session import get_spark
 
+    extra = {
+        # bigger Arrow batches amortize the Python crossing per URL
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    }
+    # RAM-backed shuffle dir (local-mode stand-in for per-node NVMe);
+    # shared disk I/O is otherwise a non-scaling resource
+    shm = "/dev/shm/spark-local"
+    try:
+        os.makedirs(shm, exist_ok=True)
+        extra["spark.local.dir"] = shm
+    except OSError:
+        pass
     return get_spark(
         f"bench-{cpus}",
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus * 2, 16),
+        extra_conf=extra,
     )
 
 
@@ -103,24 +118,48 @@ def _raw_urls(spark: SparkSession, sf_dir: str, mult: int) -> DataFrame:
     )
 
 
+N_SITES = 97
+N_SHARDS = 7
+N_HOSTS = 679  # lcm structure of (suppkey % 7, suppkey % 97)
+
+
+def _bench_robots() -> dict[str, str]:
+    """Per-host robots.txt: a third of the sites disallow a path prefix,
+    every site sets a crawl delay (1..5s) -> per-domain budgets differ."""
+    texts = {}
+    for i in range(N_HOSTS):
+        site = i % N_SITES
+        host = f"www.shard{i % N_SHARDS}.site{site}.com"
+        deny = "Disallow: /item/7\n" if site % 3 == 0 else ""
+        texts[host] = (
+            f"User-agent: *\n{deny}Crawl-delay: {1 + site % 5}\n"
+        )
+    return texts
+
+
 def frontier_bench(spark: SparkSession, sf_dir: str, mult: int = URL_MULT) -> dict:
-    """One crawl-scheduling round over the synthetic frontier; returns
-    {n_urls, wall_s, urls_per_sec, n_scheduled, n_new}."""
+    """One full crawl-scheduling round over the synthetic frontier:
+    canonicalize -> hash -> intra-batch dedup -> robots gate (broadcast
+    rules, Arrow prefix-match) -> anti-join vs url_seen -> per-domain
+    politeness budgets (broadcast crawl-delay table, no big-table pass) ->
+    salted two-phase top-k. Returns {n_urls, wall_s, urls_per_sec, ...}."""
     from datascrapexter_spark.frontier.politeness import (
         PolitenessConfig,
         schedule_topk,
         tokens_per_round,
     )
+    from datascrapexter_spark.frontier.robots import RobotsIndex
     from datascrapexter_spark.functions.urlnorm import (
         canonicalize_struct_udf,
         normalize_url_udf,
+        registered_domain,
     )
 
     raw = _raw_urls(spark, sf_dir, mult)
     n_urls = raw.count()
 
-    # pre-materialize the url_seen table (half the canonical space) — this
-    # is prior-round state, not part of the timed round
+    # prior-round state (not timed): url_seen covers half the canonical
+    # space; robots rules parsed and broadcast
     tmp = tempfile.mkdtemp(prefix="bench_seen_")
     seen_path = os.path.join(tmp, "url_seen")
     (
@@ -132,22 +171,49 @@ def frontier_bench(spark: SparkSession, sf_dir: str, mult: int = URL_MULT) -> di
     )
     seen = spark.read.parquet(seen_path)
 
+    robots = RobotsIndex.from_texts(_bench_robots())
+    ua = "DataScrapexter"
     cfg = PolitenessConfig(max_pages_per_round_per_domain=1000,
                            round_seconds=500.0)
+    # crawl-delay -> per-domain budget rows (tiny, computed driver-side
+    # exactly like CrawlEngine._domain_delays_df: max delay per domain)
+    delays: dict[str, float] = {}
+    for host in _bench_robots():
+        d = robots.by_host[host].get_crawl_delay(ua)
+        dom = registered_domain(host)
+        delays[dom] = max(delays.get(dom, 0.0), d)
+    delays_df = spark.createDataFrame(
+        sorted(delays.items()), "domain string, crawl_delay_s double"
+    )
+    budgets = delays_df.select(
+        "domain",
+        tokens_per_round(F.col("crawl_delay_s"), F.lit(None).cast("double"),
+                         F.lit(None).cast("int"), cfg).alias("tokens"),
+    )
+
+    @F.pandas_udf(BooleanType())
+    def allowed_udf(hosts: pd.Series, paths: pd.Series) -> pd.Series:
+        return robots.allowed_series(ua, hosts, paths)
+
     t0 = time.monotonic()
     cand = (
         raw.select(canonicalize_struct_udf("url").alias("c"))
         .select("c.url_canon", "c.host", "c.domain")
         .withColumn("url_hash", F.xxhash64("url_canon"))
         .dropDuplicates(["url_hash"])
+    )
+    gated = cand.filter(
+        allowed_udf(
+            "host", F.coalesce(F.parse_url("url_canon", F.lit("PATH")), F.lit(""))
+        )
+    )
+    # url_seen is half the frontier — never broadcastable at 10^10 scale;
+    # force the shuffle hash join (broadcast would serialize through the
+    # driver and caps scaling)
+    new = (
+        gated.join(seen.hint("shuffle_hash"), "url_hash", "left_anti")
         .withColumn("priority", F.lit(5))
         .withColumn("round_added", F.lit(0))
-    )
-    new = cand.join(seen, "url_hash", "left_anti")
-    budgets = new.select("domain").distinct().select(
-        "domain",
-        tokens_per_round(F.lit(0.0), F.lit(None).cast("double"),
-                         F.lit(None).cast("int"), cfg).alias("tokens"),
     )
     sched = schedule_topk(new, budgets, cfg)
     n_scheduled = sched.count()
@@ -161,9 +227,45 @@ def frontier_bench(spark: SparkSession, sf_dir: str, mult: int = URL_MULT) -> di
     }
 
 
+def _frontier_only() -> None:
+    """Subprocess mode for the scaling comparison: run ONLY the frontier
+    round (after a small warm-up) and print its JSON. The parent pins this
+    process tree to N cores with taskset so 'N cores' genuinely bounds
+    JVM + Python-worker CPU together (local[N] alone does not: UDF workers
+    land on the other cores)."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    mult = int(os.environ.get("SPARK_GRAFT_URL_MULT", str(URL_MULT)))
+    spark = _session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    frontier_bench(spark, sf_dir, mult=2)  # warm-up: JIT + worker spawn
+    print(json.dumps(frontier_bench(spark, sf_dir, mult=mult)))
+    spark.stop()
+
+
+def _pinned_frontier_run(cores: int, sf_dir: str, mult: int) -> dict:
+    import subprocess
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_URL_MULT=str(mult),
+    )
+    cmd = [sys.executable, os.path.abspath(__file__), "--frontier-only"]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, env=env, capture_output=True, text=True,
+                         check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if "--frontier-only" in sys.argv:
+        _frontier_only()
+        return
     scaling = "--scaling" in sys.argv
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -197,14 +299,14 @@ def main() -> None:
     if scaling:
         spark.stop()
         n_small = max(cpus // 4, 1)
+        # larger input for the scaling comparison so distributable work
+        # dominates fixed per-job costs (the strong-scaling regime a real
+        # 10^10 frontier is always in); each run is taskset-pinned to its
+        # core budget so N vs 4N is a true resource comparison
+        scale_mult = URL_MULT * 3
         runs = {}
         for c in (n_small, cpus):
-            s = _session(c)
-            s.sparkContext.setLogLevel("ERROR")
-            # warm-up pass to exclude one-time JIT/session costs
-            frontier_bench(s, sf_dir)
-            runs[c] = frontier_bench(s, sf_dir)
-            s.stop()
+            runs[c] = _pinned_frontier_run(c, sf_dir, scale_mult)
         thr_n, thr_4n = runs[n_small]["urls_per_sec"], runs[cpus]["urls_per_sec"]
         out["scaling"] = {
             "n_cores": n_small,

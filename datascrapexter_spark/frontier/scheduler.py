@@ -315,7 +315,10 @@ class CrawlEngine:
         definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         needs_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
         url_seen = self._read("url_seen")
-        confirmed_new = needs_check.join(url_seen, "url_hash", "left_anti")
+        # url_seen grows to frontier size — shuffle hash join, never
+        # broadcast (the Bloom prefilter already shrank the probe side)
+        confirmed_new = needs_check.join(
+            url_seen.hint("shuffle_hash"), "url_hash", "left_anti")
         new_urls = definite_new.unionByName(confirmed_new)
         new_rows = (
             new_urls.withColumnRenamed("cand_domain", "domain")
