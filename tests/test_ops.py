@@ -1,0 +1,229 @@
+"""Training-data-pipeline operator tests (ops/): dedup family, similarity,
+text analysis, multimodal plumbing — small inputs, hand-checkable outputs.
+The sf-scale oracle equivalence is covered by tools/check_queries.py /
+the driver's DuckDB compare; these tests pin the operator *semantics*."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datascrapexter_spark.ops import dedup, multimodal, similarity, textstats
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_keep_first(spark):
+    rows = [(1, "same text"), (2, "same text"), (3, "other"),
+            (4, "same text"), (5, "other")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    kept = sorted(r["id"] for r in
+                  dedup.exact_dedup(df, ["text"], "id").collect())
+    assert kept == [1, 3]
+    kept_last = sorted(r["id"] for r in
+                       dedup.exact_dedup(df, ["text"], "id", keep="last").collect())
+    assert kept_last == [4, 5]
+
+
+def test_exact_dedup_multi_column_separator(spark):
+    # ("ab","c") must NOT collide with ("a","bc")
+    df = spark.createDataFrame([(1, "ab", "c"), (2, "a", "bc")],
+                               "id long, a string, b string")
+    assert dedup.exact_dedup(df, ["a", "b"], "id").count() == 2
+
+
+def test_shingles_col(spark):
+    df = spark.createDataFrame([("a b c d",), ("x y",)], "text string")
+    got = df.select(dedup.shingles_col("text", 3).alias("s")).collect()
+    assert got[0]["s"] == ["a b c", "b c d"]
+    assert got[1]["s"] == ["x y"]  # shorter than n -> single short shingle
+
+
+def test_ngram_jaccard_pairs(spark):
+    # doc1/doc2 share most shingles; doc3 disjoint
+    rows = [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5 w6"), (3, "z1 z2 z3 z4")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    # doc1: {123,234,345}; doc2: {123,234,345,456}; common=3, union=4
+    assert got == {(1, 2): pytest.approx(0.75)}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base + " tail"), (3, "completely different words "
+                                               "nothing shared here at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text", n=3,
+                                    num_hashes=16, bands=4, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+def test_minhash_signature_matches_python(spark):
+    """Signature h_s = min over distinct shingles of md5(shingle + '#s')."""
+    text = "a b c d e"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    sig = dedup.minhash_signature(df, "doc_id", "text", n=3,
+                                  num_hashes=4).collect()[0]
+    toks = text.split(" ")
+    shingles = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+    for s in range(4):
+        expect = min(hashlib.md5(f"{sh}#{s}".encode()).hexdigest()
+                     for sh in shingles)
+        assert sig[f"h{s}"] == expect
+
+
+def test_simhash_identical_and_mutated(spark):
+    rows = [(1, "aa bb cc dd ee ff gg hh"), (2, "aa bb cc dd ee ff gg hh"),
+            (3, "aa bb cc dd ee ff gg hh zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r["doc_id"]: r["simhash"]
+          for r in dedup.simhash_df(df, "doc_id", "text", bits=32).collect()}
+    assert fp[1] == fp[2]  # identical text -> identical fingerprint
+    pairs = dedup.simhash_pairs(df, "doc_id", "text", bits=32,
+                                max_hamming=3, chunks=4)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    # one added token flips few bits; (1,3) expected within small distance
+    h13 = bin(fp[1] ^ fp[3]).count("1")
+    assert ((1, 3) in got) == (h13 <= 3)
+
+
+def test_embedding_neardup(spark):
+    rows = [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_neardup_pairs(df, "vec_id", "embedding", 0.99)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def _unit(vec):
+    n = math.sqrt(sum(x * x for x in vec))
+    return [x / n for x in vec]
+
+
+def test_cosine_topk_exact(spark):
+    corpus = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    corpus.append((10, _unit([1.0, 1.0, 0.0, 0.0])))
+    df = spark.createDataFrame(corpus, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") == 0)
+    got = similarity.cosine_topk(df, q, k=3).collect()
+    ranked = [(r["rank"], r["cid"], r["cos"]) for r in got]
+    assert ranked[0] == (1, 0, 1.0)                      # self first
+    assert ranked[1][1] == 10 and ranked[1][2] == pytest.approx(0.707107)
+    # dims 1..3 tie at 0 -> lowest cid wins rank 3
+    assert ranked[2][1] == 1 and ranked[2][2] == 0.0
+
+
+def test_srp_planes_deterministic():
+    p1 = similarity.srp_plane(0, 8)
+    p2 = similarity.srp_plane(0, 8)
+    assert p1 == p2 and set(p1) <= {1.0, -1.0}
+    assert similarity.srp_plane(1, 8) != p1
+
+
+def test_ann_lsh_same_bucket_self_hit(spark):
+    rows = [(i, [math.sin(i * 7.1 + j) for j in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 3)
+    got = similarity.ann_topk_lsh(df, q, dim=8, k=3, n_planes=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(r)
+    # every query finds at least itself (same bucket), ranked 1 with cos 1.0
+    for qid, rows_ in by_q.items():
+        top = min(rows_, key=lambda r: r["rank"])
+        assert top["cid"] == qid and top["cos"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# textstats
+# ---------------------------------------------------------------------------
+
+
+def test_lang_id(spark):
+    rows = [(1, "the cat and the dog sat on a mat"),
+            (2, "der Hund und die Katze sind nicht da"),
+            (3, "le chat est dans la maison avec les enfants"),
+            (4, "el perro y el gato en la casa"),
+            (5, "zzz qqq www")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["lang"] for r in
+           df.select("id", textstats.lang_id_col("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "unknown"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([("hello world, foo!",), ("",)], "text string")
+    got = df.select(
+        textstats.token_count_col("text").alias("ws"),
+        textstats.bpe_token_count_col("text").alias("bpe"),
+    ).collect()
+    assert (got[0]["ws"], got[0]["bpe"]) == (3, 5)  # hello world , foo !
+    assert got[1]["ws"] == 0
+
+
+def test_quality_and_fingerprint(spark):
+    text = "The quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame([(text,), ("  The   QUICK brown fox jumps "
+                                          "over the lazy dog ",)],
+                               "text string")
+    qc = textstats.quality_columns("text")
+    row = df.select(*[v.alias(k) for k, v in qc.items()],
+                    textstats.fingerprint_col("text").alias("fp")).collect()
+    r0 = row[0]
+    assert r0["n_tokens"] == 9
+    assert r0["alpha_ratio"] == 1.0
+    assert 0.0 < r0["stopword_ratio"] < 1.0
+    assert r0["quality_score"] == pytest.approx(0.4 + 0.3 + 0.3)
+    # fingerprint is whitespace/case-insensitive (normalized form)
+    assert row[0]["fp"] == row[1]["fp"]
+    expect = hashlib.md5(text.lower().encode()).hexdigest()[:16]
+    assert r0["fp"] == expect
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_fake_decode_and_frames(spark):
+    df = spark.createDataFrame([(1, b"x" * 100), (2, b"y" * 7)],
+                               "id long, payload binary")
+    meta = multimodal.decode_media_df(df, "payload", fake=True)
+    rows = {r["id"]: r for r in meta.collect()}
+    assert rows[1]["byte_len"] == 100
+    assert rows[1]["width"] == 64 + (100 % 577)
+    assert rows[1]["height"] == 64 + ((100 * 31) % 433)
+    assert rows[1]["n_frames"] == 1 + (100 % 7)
+    assert "payload" not in meta.columns  # blob dropped after decode
+    frames = multimodal.sample_frames_df(meta, every_nth=2)
+    n1 = frames.filter(F.col("id") == 1).count()
+    assert n1 == (rows[1]["n_frames"] + 1) // 2
+
+
+def test_multimodal_real_codec_is_stubbed(spark):
+    df = spark.createDataFrame([(1, b"img")], "id long, payload binary")
+    with pytest.raises(Exception):
+        # the real-codec path must loudly fail in this sandbox, not fake it
+        multimodal.decode_media_df(df, "payload", fake=False).collect()
+
+
+def test_attach_media_column(spark):
+    df = spark.createDataFrame([(1, b"abc")], "id long, payload binary")
+    out = multimodal.attach_media_column(df, "payload").collect()[0]
+    assert out["media"]["media_type"] == "image"
+    assert out["media"]["byte_len"] == 3
+    assert out["media"]["width"] is None
