@@ -27,6 +27,9 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DEFAULT_N_SHARDS = 16
 DEFAULT_M_BITS = 1 << 20  # per-shard bits (sandbox scale)
@@ -127,3 +130,46 @@ class BloomShards:
             cur = shards.get(shard_id)
             shards[shard_id] = merge_bitsets(cur, bitset) if cur else bytes(bitset)
         return cls(n_shards, m_bits, k, shards)
+
+
+def probe_maybe_seen_df(candidates: DataFrame, shards_df: DataFrame,
+                        n_shards: int, m_bits: int, k: int,
+                        hash_col: str = "url_hash") -> DataFrame:
+    """Distributed probe: candidates cogrouped with their shard's bitsets —
+    no shard ever visits the driver.
+
+    This is the 10^10-scale path: the full filter (n_shards * m_bits/8
+    bytes, e.g. 64 GiB) cannot be collected+broadcast, but each hash needs
+    exactly one shard, so candidates shuffle by shard_id = unsigned(hash) %
+    n_shards and each task OR-merges only its shard's per-round bitsets
+    (a few MiB) before a vectorized numpy probe. Output = candidates +
+    `maybe_seen` boolean. The small-filter fast path (driver broadcast, no
+    shuffle) lives in the scheduler and is chosen by total filter size.
+    """
+    out_schema = T.StructType(
+        list(candidates.schema.fields) + [T.StructField("maybe_seen", T.BooleanType())]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    shard_col = F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int")
+    cand = candidates.withColumn("_shard_id", shard_col)
+    sh = shards_df.withColumnRenamed("shard_id", "_shard_id")
+
+    def probe(cand_pdf: pd.DataFrame, shards_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame(columns=out_cols)
+        bitset = None
+        for bs in shards_pdf["bitset"]:
+            b = bytes(bs)
+            bitset = b if bitset is None else merge_bitsets(bitset, b)
+        hashes = cand_pdf[hash_col].to_numpy()
+        maybe = (np.zeros(len(hashes), dtype=bool) if bitset is None
+                 else probe_bitset(bitset, hashes, m_bits, k))
+        out = cand_pdf.drop(columns=["_shard_id"]).copy()
+        out["maybe_seen"] = maybe
+        return out
+
+    return (
+        cand.groupBy("_shard_id")
+        .cogroup(sh.groupBy("_shard_id"))
+        .applyInPandas(probe, out_schema)
+    )

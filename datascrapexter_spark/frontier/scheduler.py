@@ -43,7 +43,7 @@ from ..functions.urlnorm import (
     normalize_url_udf,
     registered_domain,
 )
-from .bloom import BloomShards, build_bitset
+from .bloom import BloomShards, build_bitset, probe_maybe_seen_df
 from .links import extract_links_df
 from .politeness import (
     PolitenessConfig,
@@ -88,6 +88,10 @@ class CrawlConfig:
     bloom_n_shards: int = 16
     bloom_m_bits: int = 1 << 20
     bloom_k: int = 7
+    # above this total filter size the probe switches from driver-broadcast
+    # (zero shuffle) to the distributed cogroup probe (shards never leave
+    # executors) — at 10^10 URLs the filter is tens of GiB
+    bloom_broadcast_max_bytes: int = 32 << 20
 
 
 class CrawlEngine:
@@ -304,14 +308,24 @@ class CrawlEngine:
         candidates = candidates.withColumn("url_hash", F.xxhash64("url_canon"))
 
         # --- dedup: Bloom prefilter, then exact anti-join for maybe-seen ---
-        bloom = self._load_bloom()
-        bbc = self.spark.sparkContext.broadcast(bloom)
+        total_filter_bytes = cfg.bloom_n_shards * cfg.bloom_m_bits // 8
+        if total_filter_bytes <= cfg.bloom_broadcast_max_bytes:
+            # small filter: collect+broadcast, probe with zero extra shuffle
+            bloom = self._load_bloom()
+            bbc = self.spark.sparkContext.broadcast(bloom)
 
-        @F.pandas_udf(T.BooleanType())
-        def maybe_seen_udf(h: pd.Series) -> pd.Series:
-            return pd.Series(bbc.value.maybe_seen(h.to_numpy()))
+            @F.pandas_udf(T.BooleanType())
+            def maybe_seen_udf(h: pd.Series) -> pd.Series:
+                return pd.Series(bbc.value.maybe_seen(h.to_numpy()))
 
-        flagged = candidates.withColumn("maybe_seen", maybe_seen_udf("url_hash"))
+            flagged = candidates.withColumn(
+                "maybe_seen", maybe_seen_udf("url_hash"))
+        else:
+            # cluster-scale filter: distributed cogroup probe — shards stay
+            # on executors, candidates shuffle once by shard_id
+            flagged = probe_maybe_seen_df(
+                candidates, self._read("bloom_shards"),
+                cfg.bloom_n_shards, cfg.bloom_m_bits, cfg.bloom_k)
         definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         needs_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
         url_seen = self._read("url_seen")

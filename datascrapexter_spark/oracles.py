@@ -383,6 +383,24 @@ SELECT doc_id,
        ((1 + (n % 7) + 1) // 2)::BIGINT AS n_sampled_frames
 FROM m
 """,
+    "q21_validation_rules": """
+WITH v AS (
+  SELECT p_partkey, p_name, p_type,
+         CASE WHEN p_name IS NULL THEN 'required field p_name is missing'
+              WHEN strlen(p_name) < 9 THEN 'p_name: string too short'
+         END AS v1,
+         CASE WHEN p_type IS NOT NULL
+                   AND p_type NOT IN ('ECONOMY', 'STANDARD', 'PREMIUM')
+              THEN 'p_type: value not in allowed options' END AS v2
+  FROM part
+)
+SELECT p_partkey,
+       CASE WHEN v1 IS NOT NULL THEN 'invalid' ELSE p_name END AS p_name,
+       CASE WHEN v2 IS NOT NULL THEN NULL ELSE p_type END AS p_type,
+       ((v1 IS NOT NULL)::INT + (v2 IS NOT NULL)::INT) AS n_violations,
+       concat_ws('; ', v1, v2) AS violations
+FROM v
+""",
     # q30_crawl_rounds: iterative crawl — no SQL oracle (rows-only check);
     # exact order/seen-set parity is asserted by tests/test_crawl_engine.py.
 }

@@ -383,6 +383,27 @@ def q20_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q21_validation_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation-rule operator (components.go:86-170 semantics): min-length
+    and options checks over part, non-strict -> defaults substituted and
+    violations recorded."""
+    from .extract.validation import ValidationRule, validate_df
+
+    part = load(spark, sf_dir, "part")
+    rules = [
+        ValidationRule(field="p_name", type="string", required=True,
+                       min_length=9, default="invalid"),
+        ValidationRule(field="p_type", type="string",
+                       options=["ECONOMY", "STANDARD", "PREMIUM"]),
+    ]
+    out = validate_df(part.select("p_partkey", "p_name", "p_type"), rules)
+    return out.select(
+        "p_partkey", "p_name", "p_type",
+        F.size("_violations").alias("n_violations"),
+        F.array_join("_violations", "; ").alias("violations"),
+    )
+
+
 # =============================================================================
 # Crawl engine end-to-end (iterative; rows-only driver check — exactness is
 # covered by the pytest oracle simulator)
@@ -459,5 +480,6 @@ QUERIES = {
     "q18_ann_lsh": q18_ann_lsh,
     "q19_text_stats": q19_text_stats,
     "q20_multimodal_meta": q20_multimodal_meta,
+    "q21_validation_rules": q21_validation_rules,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
