@@ -334,6 +334,9 @@ class CrawlEngine:
         confirmed_new = needs_check.join(
             url_seen.hint("shuffle_hash"), "url_hash", "left_anti")
         new_urls = definite_new.unionByName(confirmed_new)
+        # cached: new_rows feeds four consumers (url_seen append, bloom
+        # shard build, frontier union, stats) — without the cache the whole
+        # links->bloom->anti-join chain re-executes per consumer
         new_rows = (
             new_urls.withColumnRenamed("cand_domain", "domain")
             .withColumn("priority", F.lit(cfg.default_priority))
@@ -341,7 +344,7 @@ class CrawlEngine:
             .withColumn("round_added", F.lit(round_no))
             .withColumn("state", F.lit("pending"))
             .select([f.name for f in FRONTIER_SCHEMA.fields])
-        )
+        ).cache()
 
         # --- frontier state transitions ---
         done = fetched.filter("found").select(
@@ -364,7 +367,7 @@ class CrawlEngine:
                         F.coalesce("new_attempts", "attempts").cast("int"))
             .drop("new_state", "new_attempts")
             .unionByName(new_rows)
-        )
+        ).cache()  # consumed by the snapshot write AND the pending count
 
         # --- crawl log (the reproducible order fixture) ---
         log = fetched.select(
@@ -414,6 +417,8 @@ class CrawlEngine:
         gated.unpersist()
         scheduled.unpersist()
         fetched.unpersist()
+        new_rows.unpersist()
+        new_frontier.unpersist()
         return {
             "round": round_no,
             "scheduled": stats_row["scheduled"] or 0,
