@@ -52,7 +52,7 @@ def write_output(
         w.json(path)
         return
     if fmt == "csv":
-        w = df.write.mode(mode).option("header", "true")
+        w = csv_safe(df).write.mode(mode).option("header", "true")
         if compression:
             w = w.option("compression", compression)
         w.csv(path)
@@ -71,6 +71,21 @@ def write_output(
     raise ValueError(
         f"unsupported output format: {fmt!r} (supported: {SUPPORTED_FORMATS})"
     )
+
+
+def csv_safe(df: DataFrame) -> DataFrame:
+    """CSV cannot carry nested types; serialize array/struct/map columns to
+    JSON strings (the reference's CSV writer stringifies complex values,
+    csv.go:59-74)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(cols)
 
 
 def to_json_array(df: DataFrame) -> str:

@@ -1,0 +1,103 @@
+"""End-to-end config-driven job: YAML config -> crawl -> extract -> sink
+(the `datascrapexter run config.yaml` lifecycle, SURVEY §3.1)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from datascrapexter_spark.run import run_scrape_job
+from tests.webgen import make_web
+
+CONFIG_YAML = """
+name: webgen-job
+urls:
+  - https://site0.example.com/page/0
+  - https://site1.example.com/page/0
+fields:
+  - name: title
+    selector: h1
+    type: text
+  - name: price
+    selector: .price
+    type: number
+  - name: status_raw
+    selector: .status
+    type: text
+  - name: items
+    selector: ul.items li
+    type: list
+  - name: upper_title
+    selector: h1
+    type: text
+    transform:
+      - type: trim
+      - type: uppercase
+output:
+  format: json
+rate_limit:
+  requests_per_second: 5
+  burst: 10
+"""
+
+
+def test_run_scrape_job_end_to_end(spark, tmp_path):
+    pages_rows, _seeds, robots = make_web(n_hosts=3, pages_per_host=5)
+    pages = spark.createDataFrame(
+        pages_rows, "url string, warc_ts timestamp, html binary, "
+                    "text string, lang string")
+
+    out_dir = str(tmp_path / "out")
+    results, stats = run_scrape_job(
+        spark, CONFIG_YAML, pages, output_path=out_dir,
+        robots_texts=robots, state_root=str(tmp_path / "state"),
+        max_rounds=4,
+    )
+    rows = {r["url_canon"]: r for r in results.collect()}
+    assert len(rows) > 0
+    assert stats and stats[0]["scheduled"] > 0
+
+    some = next(iter(rows.values()))
+    assert some["_success"] in (True, False)
+    # fields extracted with configured types
+    page0 = rows.get("https://site0.example.com/page/0")
+    assert page0 is not None
+    assert page0["title"].startswith("Page 0 of site0")
+    assert isinstance(page0["price"], float)
+    assert page0["items"] == ["Item 1", "Item 2", "Item 3"]
+    assert page0["upper_title"] == page0["title"].upper()
+
+    # sink written as JSONL
+    written = []
+    for f in os.listdir(out_dir):
+        if f.startswith("part-"):
+            with open(os.path.join(out_dir, f)) as fh:
+                written += [json.loads(line) for line in fh if line.strip()]
+    assert len(written) == len(rows)
+
+    # robots: /private/ pages never fetched
+    assert not any("/private/" in u for u in rows)
+
+
+def test_run_job_with_offset_pagination_seeds(spark, tmp_path):
+    # pages table with offset-paginated URLs
+    htmls = [
+        (f"https://shop.example.com/list?limit=2&offset={o}",
+         f"<html><body><h1>Offset {o}</h1></body></html>".encode())
+        for o in (0, 2, 4, 6)
+    ]
+    pages = spark.createDataFrame(htmls, "url string, html binary")
+    config = {
+        "name": "offset-job",
+        "urls": ["https://shop.example.com/list?limit=2&offset=0"],
+        "fields": [{"name": "title", "selector": "h1", "type": "text"}],
+        "pagination": {"type": "offset", "limit": 2, "max_offset": 6,
+                       "max_pages": 5},
+    }
+    results, _stats = run_scrape_job(
+        spark, config, pages, state_root=str(tmp_path / "state"),
+        max_rounds=2,
+    )
+    titles = sorted(r["title"] for r in results.collect())
+    # offsets 0 (seed), 2, 4 expanded up-front; 6 excluded (>= max_offset)
+    assert titles == ["Offset 0", "Offset 2", "Offset 4"]
