@@ -43,6 +43,18 @@ class PolitenessConfig:
     max_slowdown: float = 4.0            # "up to 4x slower"
     max_penalty: float = 10.0            # consecutive-error cap
     n_salts: int = 8
+    # strategy surface (ratelimiter.go:91-99): fixed|adaptive|burst|hybrid.
+    # The crawl engine's pinned recurrence (tokens_per_round below) is the
+    # deterministic round-wise rendering of `adaptive`; the full 4-strategy
+    # family lives in strategy_tokens_per_round.
+    strategy: str = "adaptive"
+    consec_err_limit: int = 5            # consecutiveErrLimit default
+    min_change_threshold: float = 0.10   # minChangeThreshold (:404-409)
+    burst_increase_threshold: float = 0.05   # :32
+    burst_decrease_threshold: float = 0.20   # :33
+    burst_increase_multiplier: float = 1.5   # :34
+    burst_decrease_multiplier: float = 0.5   # :35
+    max_consecutive_multiplier: float = 10.0  # :38
 
 
 def tokens_per_round(delay_col, err_rate_col, consec_col, cfg: PolitenessConfig):
@@ -68,6 +80,82 @@ def tokens_per_round(delay_col, err_rate_col, consec_col, cfg: PolitenessConfig)
                       F.lit(float(cfg.max_penalty)))
     total_slow = F.least(slowdown * penalty, F.lit(float(cfg.max_penalty)))
     raw = F.floor(F.lit(float(cfg.round_seconds)) * eff_rps / total_slow)
+    return F.greatest(
+        F.lit(1),
+        F.least(raw, F.lit(int(cfg.max_pages_per_round_per_domain))),
+    ).cast("int")
+
+
+def interval_multiplier(err_rate_col, consec_col, prev_mult_col,
+                        cfg: PolitenessConfig):
+    """updateAdaptiveRate's interval multiplier (ratelimiter.go:363-409),
+    evaluated round-wise:
+
+      mult = 1 + err*3            when err > threshold (else 1)
+      mult *= min(consec/limit, 10)  when consec > limit
+      min-change gate: keep the previous multiplier unless the relative
+      change is >= min_change_threshold (:404-409).
+    """
+    err = F.coalesce(err_rate_col, F.lit(0.0))
+    consec = F.coalesce(consec_col, F.lit(0)).cast("double")
+    prev = F.coalesce(prev_mult_col, F.lit(1.0))
+    mult = F.when(
+        err > cfg.error_rate_threshold,
+        F.lit(1.0) + err * cfg.error_rate_multiplier,
+    ).otherwise(F.lit(1.0))
+    ratio = consec / F.lit(float(cfg.consec_err_limit))
+    mult = F.when(
+        consec > cfg.consec_err_limit,
+        mult * F.least(ratio, F.lit(float(cfg.max_consecutive_multiplier))),
+    ).otherwise(mult)
+    change = F.abs(mult - prev) / prev
+    return F.when(change >= cfg.min_change_threshold, mult).otherwise(prev)
+
+
+def burst_size(err_rate_col, cfg: PolitenessConfig):
+    """Burst adjustment (ratelimiter.go:411-425): grow 1.5x below 5%
+    errors, shrink 0.5x (floor 1) above 20%, else the base burst."""
+    err = F.coalesce(err_rate_col, F.lit(0.0))
+    base = float(cfg.burst)
+    return (
+        F.when(err < cfg.burst_increase_threshold,
+               F.floor(F.lit(base * cfg.burst_increase_multiplier)))
+        .when(err > cfg.burst_decrease_threshold,
+              F.greatest(F.floor(F.lit(base * cfg.burst_decrease_multiplier)),
+                         F.lit(1)))
+        .otherwise(F.lit(int(cfg.burst)))
+    ).cast("int")
+
+
+def strategy_tokens_per_round(delay_col, err_rate_col, consec_col,
+                              prev_mult_col, cfg: PolitenessConfig):
+    """Per-round token budget under the configured strategy
+    (WaitN dispatch, ratelimiter.go:190-205):
+
+      fixed     base rate only, no adaptation
+      adaptive  rate / interval_multiplier (min-change gated)
+      burst     base rate + adjusted burst headroom
+      hybrid    adaptive rate + adjusted burst headroom
+    """
+    eff_delay = F.least(F.coalesce(delay_col, F.lit(0.0)),
+                        F.lit(float(cfg.max_crawl_delay_s)))
+    eff_rps = F.when(
+        eff_delay > 0.0,
+        F.least(F.lit(float(cfg.requests_per_second)), F.lit(1.0) / eff_delay),
+    ).otherwise(F.lit(float(cfg.requests_per_second)))
+    base = F.lit(float(cfg.round_seconds)) * eff_rps
+    mult = interval_multiplier(err_rate_col, consec_col, prev_mult_col, cfg)
+    burst = burst_size(err_rate_col, cfg)
+    if cfg.strategy == "fixed":
+        raw = F.floor(base)
+    elif cfg.strategy == "adaptive":
+        raw = F.floor(base / mult)
+    elif cfg.strategy == "burst":
+        raw = F.floor(base) + burst
+    elif cfg.strategy == "hybrid":
+        raw = F.floor(base / mult) + burst
+    else:
+        raise ValueError(f"unknown rate-limit strategy: {cfg.strategy}")
     return F.greatest(
         F.lit(1),
         F.least(raw, F.lit(int(cfg.max_pages_per_round_per_domain))),

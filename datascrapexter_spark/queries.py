@@ -418,6 +418,9 @@ def q30_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .frontier.scheduler import CrawlConfig, CrawlEngine
     from .frontier.state import StateStore
 
+    # the crawl loop runs many small stages; a 200-partition default session
+    # would add pure scheduling overhead at this fixture size
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     host = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"),
                     F.lit(".ex"), (F.col("doc_id") % 20).cast("string"),
