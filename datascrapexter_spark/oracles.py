@@ -383,6 +383,31 @@ SELECT doc_id,
        ((1 + (n % 7) + 1) // 2)::BIGINT AS n_sampled_frames
 FROM m
 """,
+    "q22_embedding_neardup": """
+WITH base AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+aug AS (
+  SELECT vec_id, i, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, i,
+         v * (1.0 + ((vec_id + i - 1) % 7)::DOUBLE / 100.0)
+  FROM base
+),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM aug GROUP BY vec_id),
+d AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dot
+  FROM aug a JOIN aug b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cos
+  FROM d JOIN n na ON na.vec_id = d.id_a JOIN n nb ON nb.vec_id = d.id_b
+)
+SELECT id_a, id_b, round(cos, 6)::DOUBLE AS cos FROM s WHERE cos >= 0.99
+""",
     "q21_validation_rules": """
 WITH v AS (
   SELECT p_partkey, p_name, p_type,

@@ -349,6 +349,30 @@ def q18_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_lsh(emb, queries, dim=EMB_DIM, k=5, n_planes=8)
 
 
+def q22_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: corpus augmented with a
+    deterministic per-dimension perturbation of every vector ((1 +
+    ((vec_id+i)%7)/100) scaling), pairs with cosine >= 0.99."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = F.transform(
+        "embedding",
+        lambda x, i: x.cast("double")
+        * (F.lit(1.0) + ((F.col("vec_id") + i.cast("long")) % 7).cast("double") / 100.0),
+    )
+    # perturb FIRST, rename after: a lambda-captured outer column in the
+    # same select resolves against the aliased output (vec_id+100000),
+    # silently shifting the perturbation phase
+    perturbed = (
+        emb.select("vec_id", v.alias("embedding"))
+        .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    )
+    aug = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(perturbed)
+    pairs = dedup.embedding_neardup_pairs(aug, "vec_id", "embedding", 0.99)
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
 def q19_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID, quality scores, token counts, fingerprint — one pass,
     all codegen expressions."""
@@ -484,5 +508,6 @@ QUERIES = {
     "q19_text_stats": q19_text_stats,
     "q20_multimodal_meta": q20_multimodal_meta,
     "q21_validation_rules": q21_validation_rules,
+    "q22_embedding_neardup": q22_embedding_neardup,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
