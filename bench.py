@@ -150,9 +150,10 @@ def frontier_bench(spark: SparkSession, sf_dir: str, mult: int = URL_MULT) -> di
     )
     from datascrapexter_spark.frontier.robots import RobotsIndex
     from datascrapexter_spark.functions.urlnorm import (
-        canonicalize_struct_udf,
+        host_col,
         normalize_url_udf,
         registered_domain,
+        registered_domain_col,
     )
 
     raw = _raw_urls(spark, sf_dir, mult)
@@ -196,11 +197,15 @@ def frontier_bench(spark: SparkSession, sf_dir: str, mult: int = URL_MULT) -> di
         return robots.allowed_series(ua, hosts, paths)
 
     t0 = time.monotonic()
+    # one Python crossing (canonical string out); host + registered domain
+    # derive JVM-side from the canonical form (parity pinned by
+    # tests/test_native_host_cols.py)
     cand = (
-        raw.select(canonicalize_struct_udf("url").alias("c"))
-        .select("c.url_canon", "c.host", "c.domain")
+        raw.select(normalize_url_udf("url").alias("url_canon"))
         .withColumn("url_hash", F.xxhash64("url_canon"))
         .dropDuplicates(["url_hash"])
+        .withColumn("host", host_col("url_canon"))
+        .withColumn("domain", registered_domain_col(F.col("host")))
     )
     gated = cand.filter(
         allowed_udf(

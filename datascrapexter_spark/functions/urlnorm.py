@@ -279,6 +279,34 @@ def is_valid_url_col(col):
     return col.rlike("^https?://") & F.parse_url(col, F.lit("HOST")).isNotNull()
 
 
+def host_col(url_canon):
+    """Host of an ALREADY-CANONICAL URL, JVM-side (codegen; no Python).
+
+    Canonical URLs have a lowercased netloc and stripped default ports, so
+    parse_url(HOST) (which drops userinfo and any remaining explicit port)
+    equals extract_domain(). Only valid on canonicalize() output — raw URLs
+    still need the Python parity path."""
+    c = F.col(url_canon) if isinstance(url_canon, str) else url_canon
+    return F.lower(F.parse_url(c, F.lit("HOST")))
+
+
+def registered_domain_col(host):
+    """eTLD+1 as a Column expression over the same built-in suffix set as
+    registered_domain() (kept in lockstep by tests)."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(F.regexp_replace(F.lower(h), "\\.$", ""), "\\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), ".")
+    suffixes = F.array(*[F.lit(s) for s in sorted(_MULTI_SUFFIXES)])
+    return (
+        F.when(h.isNull(), None)
+        .when(n <= 2, F.array_join(labels, "."))
+        .when(F.array_contains(suffixes, last2), last3)
+        .otherwise(last2)
+    )
+
+
 def url_hash_col(col):
     """north_rule hash: xxhash64 of the canonical URL (JVM-side, seed 42)."""
     return F.xxhash64(col)
