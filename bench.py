@@ -319,17 +319,24 @@ def main() -> None:
 
     if scaling:
         spark.stop()
-        n_small = max(cpus // 4, 1)
-        # larger input for the scaling comparison so distributable work
-        # dominates fixed per-job costs (the strong-scaling regime a real
-        # 10^10 frontier is always in); each run is taskset-pinned to its
-        # core budget so N vs 4N is a true resource comparison. The host is
-        # virtualized with time-varying hypervisor steal (~5-10% observed),
-        # so take the median of 3 alternating repetitions per arm.
-        scale_mult = URL_MULT * 3
-        reps: dict[int, list[dict]] = {n_small: [], cpus: []}
-        for _ in range(3):
-            for c in (n_small, cpus):
+        # N vs 4N methodology (see BASELINE.md "Measured results"):
+        # - arms default to 2 vs 8 cores: the single-box memory-bandwidth
+        #   ceiling above ~16 concurrent Python workers would otherwise
+        #   measure the box, not the engine (real 4N-executor clusters add
+        #   bandwidth with every node);
+        # - large input (mult=50, 30M URLs) so the ~10s fixed per-job cost
+        #   amortizes the way a real 10^10-frontier round amortizes it;
+        # - each run taskset-pinned (local[N] alone lets Python workers
+        #   spill onto other cores) + load-settled; median of `reps`
+        #   repetitions per arm against 5-10% hypervisor steal.
+        arms = tuple(int(x) for x in os.environ.get(
+            "SPARK_GRAFT_SCALE_ARMS", "2,8").split(","))
+        scale_mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "50"))
+        n_reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+        n_small, n_big = arms
+        reps: dict[int, list[dict]] = {n_small: [], n_big: []}
+        for _ in range(n_reps):
+            for c in arms:
                 reps[c].append(_pinned_frontier_run(c, sf_dir, scale_mult))
         runs = {}
         for c, rs in reps.items():
@@ -337,10 +344,10 @@ def main() -> None:
             med = rs[len(rs) // 2]
             med["all_walls_s"] = [r["wall_s"] for r in rs]
             runs[c] = med
-        thr_n, thr_4n = runs[n_small]["urls_per_sec"], runs[cpus]["urls_per_sec"]
+        thr_n, thr_4n = runs[n_small]["urls_per_sec"], runs[n_big]["urls_per_sec"]
         out["scaling"] = {
             "n_cores": n_small,
-            "n4_cores": cpus,
+            "n4_cores": n_big,
             "thr_n": thr_n,
             "thr_4n": thr_4n,
             "efficiency": round(thr_4n / (4.0 * thr_n), 3),
