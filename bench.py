@@ -305,6 +305,7 @@ def main() -> None:
         _force(QUERIES[name](spark, sf_dir))
         qtimes[name] = round(time.monotonic() - t0, 3)
 
+    frontier_bench(spark, sf_dir, mult=2)  # warm-up: JIT + worker spawn
     fb = frontier_bench(spark, sf_dir)
 
     out = {
