@@ -9,7 +9,8 @@ shrink that anti-join's probe side: candidates whose shard bitset says
 "definitely unseen" skip the shuffle entirely, and at 10^10 URLs with a
 ~1% duplicate discovery rate that's a ~99% reduction in anti-join input.
 
-Sharding: shard_id = unsigned(url_hash) % n_shards, so each shard covers a
+Sharding: shard_id = pmod(url_hash, n_shards) (non-negative, matching Spark
+`F.pmod` in every probe path, including negative hashes), so each shard covers a
 hash-disjoint slice and shards can be built/merged per Spark partition and
 OR-merged across rounds. Shard bitsets are persisted in the `bloom_shards`
 snapshot table (binary column) and broadcast for probing — n_shards *
@@ -86,8 +87,12 @@ class BloomShards:
         self.shards = shards or {}
 
     def shard_of(self, hashes: np.ndarray) -> np.ndarray:
-        return (np.asarray(hashes, dtype=np.int64).astype(np.uint64)
-                % np.uint64(self.n_shards)).astype(np.int64)
+        """pmod semantics (non-negative result, sign of the divisor) so the
+        driver-broadcast path agrees with the Spark `F.pmod` shard columns in
+        the scheduler/cogroup paths for EVERY n_shards, not just powers of
+        two — np.mod on int64 matches Spark pmod exactly."""
+        return np.mod(np.asarray(hashes, dtype=np.int64),
+                      np.int64(self.n_shards)).astype(np.int64)
 
     def add_hashes(self, hashes: np.ndarray) -> None:
         """Driver-side incremental build (executor-side build goes through
@@ -140,8 +145,8 @@ def probe_maybe_seen_df(candidates: DataFrame, shards_df: DataFrame,
 
     This is the 10^10-scale path: the full filter (n_shards * m_bits/8
     bytes, e.g. 64 GiB) cannot be collected+broadcast, but each hash needs
-    exactly one shard, so candidates shuffle by shard_id = unsigned(hash) %
-    n_shards and each task OR-merges only its shard's per-round bitsets
+    exactly one shard, so candidates shuffle by shard_id = pmod(hash,
+    n_shards) and each task OR-merges only its shard's per-round bitsets
     (a few MiB) before a vectorized numpy probe. Output = candidates +
     `maybe_seen` boolean. The small-filter fast path (driver broadcast, no
     shuffle) lives in the scheduler and is chosen by total filter size.

@@ -138,16 +138,24 @@ def numbered_next_url(spec: PaginationSpec, current_url: str,
 
 
 def page_urls(spec: PaginationSpec, seed_url: str | None = None) -> list[str]:
-    """The full page sequence for a DOM-free strategy (seed first). This is
-    what feeds the frontier: the reference generates the same URLs one per
-    loop iteration (engine.go:720-733)."""
+    """The full page sequence for a DOM-free strategy. This is what feeds
+    the frontier: the reference generates the same URLs one per loop
+    iteration (engine.go:720-733).
+
+    First-page semantics follow the engine loop, which is the path actually
+    executed: for `offset` the loop computes EVERY page URL including the
+    first (engine.go:721-733 renders baseURL?offset=0&limit=L at pageNum=0,
+    never the bare base URL), and url_pattern templates render start_page.
+    Numbered `pages` strategies fetch the bare seed first (the engine only
+    consults GetNextURL from pageNum>0)."""
     spec.validate()
     seed = seed_url or spec.base_url or spec.url_template
-    if spec.type == "url_pattern":
-        # template strategies render every page, incl. the first
-        # (start_page itself at page_num=0)
+    if spec.type in ("url_pattern", "offset"):
+        # these strategies render every page, incl. the first (start_page /
+        # start_offset at page_num=0)
         urls = []
-        first = numbered_next_url(spec, seed, 0)
+        fn0 = offset_next_url if spec.type == "offset" else numbered_next_url
+        first = fn0(spec, seed, 0)
         if first is not None:
             urls.append(first)
     else:

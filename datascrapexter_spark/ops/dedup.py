@@ -86,14 +86,19 @@ def exact_dedup(
     """Keep one row per identical content (hash-groupBy keep-first).
 
     Identity = md5 of the concatenated content columns (field separator
-    \\x1f so ("ab","c") != ("a","bc")). `order_col` breaks ties
+    \\x1f so ("ab","c") != ("a","bc")). NULLs keep positional identity:
+    each column is coalesced to a \\x00-prefixed sentinel before concat_ws
+    (which would otherwise silently SKIP null arguments, conflating
+    ('x', NULL) with (NULL, 'x')). `order_col` breaks ties
     deterministically; keep="first" keeps the minimum.
 
     Scale: one hash-partitioned shuffle on the 128-bit digest; the fat
     content columns never shuffle twice because the window runs on the
     digest partition.
     """
-    digest = F.md5(F.concat_ws("\x1f", *content_cols))
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+             for c in content_cols]
+    digest = F.md5(F.concat_ws("\x1f", *parts))
     direction = F.col(order_col).asc() if keep == "first" else F.col(order_col).desc()
     w = Window.partitionBy(digest).orderBy(direction)
     return (
@@ -121,19 +126,44 @@ def ngram_jaccard_pairs(
     Plan: explode distinct shingles -> self equi-join on shingle ->
     count(common) per pair -> |A∪B| = |A|+|B|-common. Output columns:
     (id_a, id_b, jaccard) with id_a < id_b.
+
+    `max_shingle_doc_freq` affects candidate GENERATION only: pairs are
+    collected from the doc-freq-capped shingle join, but sizes and the
+    overlap count are recomputed from the uncapped shingle sets, so every
+    reported jaccard is the exact uncapped value (same contract as
+    minhash_lsh_pairs: recall < 1, precision 1).
     """
-    ex = _cap_doc_freq(_exploded_shingles(df, id_col, text_col, n), id_col,
-                       max_shingle_doc_freq)
+    ex = _exploded_shingles(df, id_col, text_col, n)
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
-    a = ex.select(F.col(id_col).alias("id_a"), "shingle")
-    b = ex.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
+    if max_shingle_doc_freq is None:
+        a = ex.select(F.col(id_col).alias("id_a"), "shingle")
+        b = ex.select(F.col(id_col).alias("id_b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        capped = _cap_doc_freq(ex, id_col, max_shingle_doc_freq)
+        ca = capped.select(F.col(id_col).alias("id_a"), "shingle")
+        cb = capped.select(F.col(id_col).alias("id_b"), "shingle")
+        cand = (
+            ca.join(cb, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        # exact overlap over the UNCAPPED shingles, candidates only
+        ex_a = ex.select(F.col(id_col).alias("id_a"), "shingle")
+        ex_b = ex.select(F.col(id_col).alias("id_b"), "shingle")
+        common = (
+            cand.join(ex_a, "id_a")
+            .join(ex_b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("common"))
+        )
     sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
@@ -152,15 +182,19 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16,
+    max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
     """MinHash signature: h_s(doc) = min over shingles of md5(shingle + '#s').
 
     md5 hex strings compare lexicographically = numerically (fixed width),
     so min() over the hex digest is a valid min-hash; seeds are suffix
     salts. One groupBy, num_hashes partial-aggregating min()s.
+    `max_shingle_doc_freq` drops stop-shingles before hashing (see
+    minhash_lsh_pairs).
     """
-    ex = _exploded_shingles(df, id_col, text_col, n)
+    ex = _cap_doc_freq(_exploded_shingles(df, id_col, text_col, n), id_col,
+                       max_shingle_doc_freq)
     aggs = [
         F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{s}")))).alias(f"h{s}")
         for s in range(num_hashes)
@@ -176,6 +210,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.5,
+    max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with exact Jaccard.
 
@@ -188,14 +223,18 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, jaccard), id_a < id_b.
 
     Scale: candidate generation is an equi-join on (band_idx, band_key);
-    identical-boilerplate bands can hot-key — AQE skew join handles
-    moderate skew, and `ngram_jaccard_pairs`'s doc-freq cap is available
-    upstream for pathological corpora.
+    identical-boilerplate bands can hot-key the join. AQE skew join handles
+    moderate skew; for pathological corpora set `max_shingle_doc_freq` to
+    drop stop-shingles ("all rights reserved") BEFORE signatures are
+    computed — candidate generation changes (bands no longer collide on
+    boilerplate alone) but every emitted pair is still verified with the
+    exact UNCAPPED Jaccard, so precision stays 1.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
-    sig = minhash_signature(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signature(df, id_col, text_col, n, num_hashes,
+                            max_shingle_doc_freq)
     band_structs = F.array(
         *[
             F.struct(
@@ -366,11 +405,12 @@ def as_double_array(c: Column | str) -> Column:
 def embedding_neardup_pairs(
     df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95
 ) -> DataFrame:
-    """Pairs with cosine similarity >= threshold.
+    """Pairs with cosine similarity >= threshold — EXACT, O(n²) variant.
 
-    This is the *verification-everywhere* variant (block-nested loop via
-    range self-join); at corpus scale, generate candidates first with
-    `similarity.lsh_bucket_col` and verify only within buckets.
+    Verification-everywhere (block-nested loop via range self-join): only
+    for fixtures / small corpora where exact recall 1 is required. The
+    scale path is `embedding_neardup_pairs_lsh` below (equi-join-only
+    candidate generation).
 
     Output: (id_a, id_b, cos double), id_a < id_b.
     """
@@ -379,6 +419,73 @@ def embedding_neardup_pairs(
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     return (
         pairs.withColumn("cos", cosine_sim_col(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_plane_sets: int = 2,
+) -> DataFrame:
+    """Embedding near-dup pairs, SRP-LSH bucketed — the 10^8-doc scale path.
+
+    Candidate generation: each vector is assigned one signed-random-
+    projection bucket per independent hyperplane set (set s uses planes
+    s*n_planes .. s*n_planes+n_planes-1 of the deterministic md5-derived
+    Rademacher family in similarity.srp_plane); two docs are candidates iff
+    they share a bucket in ANY set. That is an equi-join on (plane_set,
+    bucket) — never a cross join. Every candidate is verified with the
+    exact cosine, so precision is 1; recall grows with `n_plane_sets`
+    (plane-set redundancy is the recall knob: P[miss] = prod over sets of
+    (1 - (1 - theta/pi)^n_planes) for angle theta) and shrinks with
+    `n_planes` (smaller buckets, cheaper verify).
+
+    Scale notes: the pair-distinct runs on bare (id_a, id_b) so the fat
+    vectors never shuffle through it; vectors re-join per side afterwards
+    (keyed equi-joins). At cluster scale, persist the corpus bucketed by
+    (plane_set, bucket) so candidate generation is co-located.
+
+    Output: (id_a, id_b, cos double), id_a < id_b — identical shape to the
+    exact variant.
+    """
+    from .similarity import lsh_bucket_col
+
+    v = df.select(F.col(id_col).alias("_id"),
+                  as_double_array(vec_col).alias("_v"))
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("pset"),
+                lsh_bucket_col(F.col("_v"), dim, n_planes,
+                               plane_offset=s * n_planes).alias("bucket"),
+            )
+            for s in range(n_plane_sets)
+        ]
+    )
+    buckets = v.select(
+        "_id", F.explode(bucket_structs).alias("bk")
+    ).select("_id", F.col("bk.pset").alias("pset"),
+             F.col("bk.bucket").alias("bucket"))
+    a = buckets.select(F.col("_id").alias("id_a"), "pset", "bucket")
+    b = buckets.select(F.col("_id").alias("id_b"), "pset", "bucket")
+    cand = (
+        a.join(b, ["pset", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", cosine_sim_col(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

@@ -37,12 +37,17 @@ def srp_plane(plane: int, dim: int) -> list[float]:
     return out
 
 
-def lsh_bucket_col(vec: Column | str, dim: int, n_planes: int = 8) -> Column:
-    """SRP bucket id: bit p set iff dot(vec, plane_p) > 0."""
+def lsh_bucket_col(vec: Column | str, dim: int, n_planes: int = 8,
+                   plane_offset: int = 0) -> Column:
+    """SRP bucket id: bit p set iff dot(vec, plane_{plane_offset + p}) > 0.
+
+    `plane_offset` selects an independent plane set (offset s*n_planes for
+    set s) — used by dedup.embedding_neardup_pairs_lsh for multi-set recall.
+    """
     v = as_double_array(vec)
     bucket = None
     for p in range(n_planes):
-        plane = F.array(*[F.lit(w) for w in srp_plane(p, dim)])
+        plane = F.array(*[F.lit(w) for w in srp_plane(plane_offset + p, dim)])
         dot = F.aggregate(
             F.zip_with(v, plane, lambda x, y: x * y),
             F.lit(0.0),

@@ -184,6 +184,65 @@ SELECT qid, cid, cos, rank FROM r WHERE rank <= {k}
 """
 
 
+# q22/q23 shared: exploded base + deterministically perturbed copies
+_AUG_EMB = """
+base AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+),
+aug AS (
+  SELECT vec_id, i, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, i,
+         v * (1.0 + ((vec_id + i - 1) % 7)::DOUBLE / 100.0)
+  FROM base
+)"""
+
+
+def _embedding_neardup_lsh_sql(dim: int, threshold: float = 0.99,
+                               n_planes: int = 8, n_plane_sets: int = 2) -> str:
+    """Reproduces dedup.embedding_neardup_pairs_lsh: SRP buckets per plane
+    set (set s = planes s*n_planes..s*n_planes+n_planes-1), candidates from
+    the (pset, bucket) equi-join, exact cosine verification."""
+    set_selects = []
+    for s in range(n_plane_sets):
+        plane_terms = []
+        for p in range(n_planes):
+            arr = ", ".join(str(w) for w in srp_plane(s * n_planes + p, dim))
+            plane_terms.append(
+                f"CASE WHEN sum(v * (([{arr}])::DOUBLE[])[i]) > 0 "
+                f"THEN {1 << p} ELSE 0 END"
+            )
+        set_selects.append(
+            f"SELECT vec_id, {s} AS pset, ({' + '.join(plane_terms)})::INT "
+            "AS bucket FROM aug GROUP BY vec_id"
+        )
+    buckets = " UNION ALL ".join(set_selects)
+    return f"""
+WITH {_AUG_EMB},
+bk AS ({buckets}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b ON a.pset = b.pset AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id
+),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM aug GROUP BY vec_id),
+d AS (
+  SELECT c.id_a, c.id_b, sum(a.v * b.v) AS dot
+  FROM cand c
+  JOIN aug a ON a.vec_id = c.id_a
+  JOIN aug b ON b.vec_id = c.id_b AND b.i = a.i
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cos
+  FROM d JOIN n na ON na.vec_id = d.id_a JOIN n nb ON nb.vec_id = d.id_b
+)
+SELECT id_a, id_b, round(cos, 6)::DOUBLE AS cos FROM s WHERE cos >= {threshold}
+"""
+
+
 def _text_stats_sql() -> str:
     def lst(lang: str) -> str:
         return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
@@ -408,6 +467,7 @@ s AS (
 )
 SELECT id_a, id_b, round(cos, 6)::DOUBLE AS cos FROM s WHERE cos >= 0.99
 """,
+    "q23_embedding_neardup_lsh": _embedding_neardup_lsh_sql(64, 0.99, 8, 2),
     "q21_validation_rules": """
 WITH v AS (
   SELECT p_partkey, p_name, p_type,

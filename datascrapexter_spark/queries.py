@@ -349,10 +349,10 @@ def q18_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk_lsh(emb, queries, dim=EMB_DIM, k=5, n_planes=8)
 
 
-def q22_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: corpus augmented with a
-    deterministic per-dimension perturbation of every vector ((1 +
-    ((vec_id+i)%7)/100) scaling), pairs with cosine >= 0.99."""
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings UNION a deterministic per-dimension perturbation of every
+    vector ((1 + ((vec_id+i)%7)/100) scaling, shifted ids) — the near-dup
+    test corpus, reproducible in SQL."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = F.transform(
         "embedding",
@@ -366,10 +366,28 @@ def q22_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", v.alias("embedding"))
         .select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
     )
-    aug = emb.select(
+    return emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     ).unionByName(perturbed)
+
+
+def q22_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact O(n²) variant (fixture
+    scale only): pairs with cosine >= 0.99 over the perturbed corpus."""
+    aug = _augmented_embeddings(spark, sf_dir)
     pairs = dedup.embedding_neardup_pairs(aug, "vec_id", "embedding", 0.99)
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
+def q23_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, SRP-LSH bucketed (the scale path): same
+    corpus as q22, candidates from (plane_set, bucket) equi-joins over 2
+    independent 8-plane SRP sets, exact cosine verification in-bucket."""
+    aug = _augmented_embeddings(spark, sf_dir)
+    pairs = dedup.embedding_neardup_pairs_lsh(
+        aug, "vec_id", "embedding", dim=EMB_DIM, threshold=0.99,
+        n_planes=8, n_plane_sets=2,
+    )
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
@@ -443,7 +461,9 @@ def q30_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .frontier.state import StateStore
 
     # the crawl loop runs many small stages; a 200-partition default session
-    # would add pure scheduling overhead at this fixture size
+    # would add pure scheduling overhead at this fixture size. Restored in
+    # the finally below so later queries on the shared session are unaffected.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     host = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"),
@@ -476,10 +496,16 @@ def q30_crawl_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url string, priority int",
     )
     root = tempfile.mkdtemp(prefix="crawlq_")
-    eng = CrawlEngine(spark, StateStore(root), pages, robots,
-                      CrawlConfig(max_rounds=3, max_attempts=2))
-    eng.run(seeds, max_rounds=3)
-    return eng.crawl_log()
+    try:
+        eng = CrawlEngine(spark, StateStore(root), pages, robots,
+                          CrawlConfig(max_rounds=3, max_attempts=2))
+        eng.run(seeds, max_rounds=3)
+        log = eng.crawl_log()
+        # the crawl log is already checkpointed parquet; reading it back is
+        # cheap and independent of the session conf we restore below
+        return log
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 # =============================================================================
@@ -509,5 +535,6 @@ QUERIES = {
     "q20_multimodal_meta": q20_multimodal_meta,
     "q21_validation_rules": q21_validation_rules,
     "q22_embedding_neardup": q22_embedding_neardup,
+    "q23_embedding_neardup_lsh": q23_embedding_neardup_lsh,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

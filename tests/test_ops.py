@@ -104,6 +104,99 @@ def test_embedding_neardup(spark):
     assert got == {(1, 2)}
 
 
+def test_embedding_neardup_lsh_subset_of_exact(spark):
+    """The bucketed variant must emit a subset of the exact pairs with
+    IDENTICAL cosine values (precision 1), and find same-bucket near-dups."""
+    rows = [
+        (1, [1.0, 0.05, 0.0, 0.0]),
+        (2, [0.99, 0.06, 0.0, 0.0]),     # near-dup of 1
+        (3, [0.0, 0.0, 1.0, 0.02]),
+        (4, [0.0, 0.0, 0.99, 0.03]),     # near-dup of 3
+        (5, [-1.0, 0.5, -0.5, 0.25]),    # far from everything
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_neardup_pairs(
+            df, "vec_id", "embedding", 0.99).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in dedup.embedding_neardup_pairs_lsh(
+            df, "vec_id", "embedding", dim=4, threshold=0.99,
+            n_planes=4, n_plane_sets=2).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == pytest.approx(exact[k])
+    # identical-direction pairs share every bucket -> always recalled
+    assert (1, 2) in lsh and (3, 4) in lsh
+
+
+def test_ngram_jaccard_doc_freq_cap_keeps_exact_values(spark):
+    """The cap prunes candidate generation only: surviving pairs report the
+    exact UNCAPPED jaccard."""
+    rows = [(1, "w1 w2 w3 w4 w5"), (2, "w1 w2 w3 w4 w5 w6"),
+            (3, "w1 w2 w3 zz yy")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.1).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.1,
+            max_shingle_doc_freq=2).collect()
+    }
+    # shingle "w1 w2 w3" occurs in all 3 docs -> dropped from candidate
+    # generation, but pairs still sharing a rarer shingle keep exact values
+    assert set(capped) <= set(uncapped)
+    for k, v in capped.items():
+        assert v == pytest.approx(uncapped[k])
+    assert (1, 2) in capped  # shares "w2 w3 w4" etc. (doc freq 2)
+
+
+def test_minhash_doc_freq_cap(spark):
+    """Capped signatures ignore boilerplate shingles; verification stays
+    exact-uncapped so emitted jaccards equal the uncapped operator's."""
+    boiler = "all rights reserved by the site"
+    rows = [(1, f"u1 u2 u3 u4 {boiler}"), (2, f"u1 u2 u3 u4 {boiler}"),
+            (3, f"z1 z2 z3 z4 {boiler}"), (4, f"q1 q2 q3 q4 {boiler}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", n=3, num_hashes=16, bands=4,
+            threshold=0.3, max_shingle_doc_freq=3).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            df, "doc_id", "text", n=3, num_hashes=16, bands=4,
+            threshold=0.3).collect()
+    }
+    # true duplicates (1,2) survive the cap with the exact uncapped jaccard
+    assert capped[(1, 2)] == pytest.approx(1.0)
+    assert capped[(1, 2)] == pytest.approx(uncapped[(1, 2)])
+    # boilerplate-only overlap: every shared shingle has doc freq 4 > cap,
+    # so those pairs can no longer become candidates via boilerplate
+    assert (3, 4) not in capped
+    for k, v in capped.items():
+        assert v == pytest.approx(uncapped[k])
+
+
+def test_exact_dedup_null_positional_identity(spark):
+    """('x', NULL) and (NULL, 'x') must NOT be conflated (concat_ws would
+    silently skip the NULL without the sentinel coalesce)."""
+    rows = [(1, "x", None), (2, None, "x"), (3, "x", None)]
+    df = spark.createDataFrame(rows, "id long, a string, b string")
+    kept = dedup.exact_dedup(df, ["a", "b"], order_col="id")
+    ids = sorted(r["id"] for r in kept.collect())
+    assert ids == [1, 2]  # 3 duplicates 1; 2 is distinct
+
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------

@@ -68,8 +68,10 @@ def test_numbered_template():
 def test_page_urls_sequences():
     offset = PaginationSpec(type="offset", base_url="https://x.com/l",
                             limit=10, max_offset=30, max_pages=10)
+    # the engine loop renders offset=0 for the FIRST page too
+    # (engine.go:721-733), never the bare base URL
     assert page_urls(offset) == [
-        "https://x.com/l",
+        "https://x.com/l?limit=10&offset=0",
         "https://x.com/l?limit=10&offset=10",
         "https://x.com/l?limit=10&offset=20",
     ]
