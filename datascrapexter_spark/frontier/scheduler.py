@@ -43,8 +43,10 @@ from ..functions.urlnorm import (
     normalize_url_udf,
     registered_domain,
 )
+from ..functions.urlnorm import host_col
 from .bloom import BloomShards, build_bitset, probe_maybe_seen_df
 from .links import extract_links_df
+from .pagination import PaginationSpec, extract_next_urls_df
 from .politeness import (
     PolitenessConfig,
     next_consec_errors,
@@ -83,6 +85,13 @@ class CrawlConfig:
     max_rounds: int = 20
     user_agent: str = "DataScrapexter"
     link_selector: str = "a[href]"
+    # DOM-dependent pagination (cursor / next_button): when set, the round
+    # loop follows ONLY the strategy's next-URL per fetched page (the
+    # reference's sequential page loop, engine.go:720-792, per host) instead
+    # of full link extraction. Cursor-repeat state is checkpointed per host
+    # in the pagination_state table (lastCursor, pagination_strategies.go:
+    # 144-149).
+    pagination_spec: PaginationSpec | None = None
     restrict_to_seed_hosts: bool = True
     default_priority: int = 5          # JobPriority normal (pkg/types/types.go:47)
     bloom_n_shards: int = 16
@@ -171,6 +180,8 @@ class CrawlEngine:
         empty_state = self.spark.createDataFrame(
             [], "domain string, err_rate double, consec_err int")
         sids["domain_state"] = self.store["domain_state"].overwrite(empty_state)
+        sids["pagination_state"] = self.store["pagination_state"].overwrite(
+            self.spark.createDataFrame([], "host string, last_cursor string"))
         sids["crawl_log"] = self.store["crawl_log"].overwrite(
             self.spark.createDataFrame([], CRAWL_LOG_SCHEMA))
         sids["lineage_metrics"] = self.store["lineage_metrics"].overwrite(
@@ -289,10 +300,17 @@ class CrawlEngine:
         )
 
         # --- out-links -> new frontier candidates ---
-        links = extract_links_df(
-            fetched.filter("found").select("url_canon", "html"),
-            selector=cfg.link_selector,
-        )
+        spec = cfg.pagination_spec
+        new_pag_state = None
+        if spec is not None and spec.type in ("cursor", "next_button"):
+            links, new_pag_state = self._pagination_links(
+                fetched.filter("found").select("url_canon", "html"),
+                spec, round_no)
+        else:
+            links = extract_links_df(
+                fetched.filter("found").select("url_canon", "html"),
+                selector=cfg.link_selector,
+            )
         candidates = links.select(
             F.col("out_url_canon").alias("url_canon")).distinct()
         candidates = (
@@ -402,6 +420,9 @@ class CrawlEngine:
         sids["bloom_shards"] = self.store["bloom_shards"].append(
             self._bloom_partials(new_hashes, round_no))
         sids["domain_state"] = self.store["domain_state"].overwrite(new_domain_state)
+        if new_pag_state is not None:
+            sids["pagination_state"] = self.store["pagination_state"].overwrite(
+                new_pag_state)
         sids["crawl_log"] = self.store["crawl_log"].append(log)
         sids["lineage_metrics"] = self.store["lineage_metrics"].append(metrics)
 
@@ -427,6 +448,61 @@ class CrawlEngine:
             "pending": pending_left,
             "wall_ms": wall_ms,
         }
+
+    def _pagination_links(self, fetched_pages: DataFrame, spec: PaginationSpec,
+                          round_no: int) -> tuple[DataFrame, DataFrame | None]:
+        """DOM-dependent pagination step: one Arrow pass per fetched page
+        emits (next_url, cursor) with the reference's exact semantics
+        (pagination_strategies.go:95-311 — disabled-button heuristics,
+        cursor from selector text/attr, stop on empty cursor / page cap).
+
+        Cursor-repeat protection across rounds (the reference's lastCursor,
+        :144-149) is a broadcast join against the checkpointed per-host
+        pagination_state: a page whose extracted cursor equals the host's
+        previous-round cursor ends its chain. Chains are per HOST (the
+        round loop advances every host one page per round — SURVEY §3.2);
+        for multi-chain hosts the recorded state is the max cursor, a
+        deterministic rule mirrored by the oracle simulator.
+
+        Returns (links in (src_url_canon, out_url_canon) shape,
+        new pagination_state or None for next_button)."""
+        nxt = extract_next_urls_df(fetched_pages, spec, page_num=round_no)
+        new_state = None
+        if spec.type == "cursor":
+            prev = self._read("pagination_state")
+            if prev is None:
+                prev = self.spark.createDataFrame(
+                    [], "host string, last_cursor string")
+            nxt = (
+                nxt.withColumn("host", host_col(F.col("src_url")))
+                .join(F.broadcast(prev), "host", "left")
+                .withColumn(
+                    "next_url",
+                    F.when(F.col("cursor") == F.coalesce("last_cursor", F.lit("")),
+                           F.lit(None).cast("string"))
+                    .otherwise(F.col("next_url")),
+                )
+            ).cache()
+            this_round = (
+                nxt.filter(F.col("cursor") != "")
+                .groupBy("host")
+                .agg(F.max("cursor").alias("new_cursor"))
+            )
+            new_state = (
+                prev.join(this_round, "host", "full")
+                .select(
+                    "host",
+                    F.coalesce("new_cursor", "last_cursor").alias("last_cursor"),
+                )
+            )
+        links = (
+            nxt.filter(F.col("next_url").isNotNull())
+            .select(
+                F.col("src_url").alias("src_url_canon"),
+                normalize_url_udf("next_url").alias("out_url_canon"),
+            )
+        )
+        return links, new_state
 
     def _domain_delays_df(self) -> DataFrame:
         delays: dict[str, float] = {}

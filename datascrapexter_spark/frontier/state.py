@@ -109,7 +109,7 @@ class StateStore:
     that round from its start — per north_rule, resumable mid-crawl)."""
 
     TABLES = ("frontier", "url_seen", "bloom_shards", "domain_state",
-              "crawl_log", "lineage_metrics")
+              "pagination_state", "crawl_log", "lineage_metrics")
 
     def __init__(self, root: str):
         self.root = root

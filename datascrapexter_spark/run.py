@@ -65,9 +65,29 @@ def run_scrape_job(
     cfg = config if isinstance(config, ScraperConfig) else load_config(config)
     cfg.validate()
 
+    # pagination dispatch (CreatePaginationStrategy parity, pagination_
+    # strategies.go:379-424): DOM-free types expand into the seed list in
+    # _seed_urls; DOM-dependent types drive the round loop's next-URL step;
+    # anything else is an ERROR, never a silent fallback to plain links.
     link_selector = "a[href]"
-    if cfg.pagination and cfg.pagination.type == "next_button":
-        link_selector = cfg.pagination.selector or link_selector
+    pag_spec = None
+    pag = cfg.pagination
+    if pag and pag.type:
+        if pag.type in ("offset", "pages", "numbered", "url_pattern"):
+            pass  # handled by _seed_urls
+        elif pag.type == "next_button":
+            pag_spec = PaginationSpec(
+                type="next_button", selector=pag.selector,
+                max_pages=pag.max_pages)
+        elif pag.type == "cursor":
+            pag_spec = PaginationSpec(
+                type="cursor", cursor_selector=pag.cursor_selector,
+                cursor_attr=pag.cursor_attr, page_param=pag.cursor_param,
+                limit=pag.limit, max_pages=pag.max_pages)
+        else:
+            raise ValueError(f"unknown pagination type: {pag.type!r}")
+        if pag_spec is not None:
+            pag_spec.validate()
 
     crawl_cfg = CrawlConfig(
         politeness=PolitenessConfig(
@@ -80,6 +100,7 @@ def run_scrape_job(
                                   else 10),
         user_agent=cfg.user_agent,
         link_selector=link_selector,
+        pagination_spec=pag_spec,
     )
     store = StateStore(state_root or tempfile.mkdtemp(prefix="dsx_job_"))
     engine = CrawlEngine(spark, store, pages, robots_texts or {}, crawl_cfg)

@@ -15,6 +15,10 @@ import math
 from dataclasses import dataclass, field
 
 from datascrapexter_spark.frontier.links import extract_links_py
+from datascrapexter_spark.frontier.pagination import (
+    cursor_next_url,
+    next_button_next_url,
+)
 from datascrapexter_spark.frontier.politeness import PolitenessConfig
 from datascrapexter_spark.frontier.robots import RobotsIndex
 from datascrapexter_spark.frontier.scheduler import CrawlConfig
@@ -49,6 +53,7 @@ class CrawlSimulator:
     seen: set[int] = field(default_factory=set)
     domain_state: dict[str, tuple[float, int]] = field(default_factory=dict)
     crawl_log: list[tuple] = field(default_factory=list)
+    pag_state: dict[str, str] = field(default_factory=dict)  # host -> cursor
 
     @classmethod
     def from_raw(cls, pages_rows, robots_texts, cfg: CrawlConfig):
@@ -149,6 +154,7 @@ class CrawlSimulator:
         # fetch + links
         new_candidates: list[str] = []
         cand_set: set[str] = set()
+        round_cursors: dict[str, str] = {}
         per_domain_att: dict[str, int] = {}
         per_domain_err: dict[str, int] = {}
         n_fetched = 0
@@ -164,8 +170,8 @@ class CrawlSimulator:
                 u.state = "done"
                 n_fetched += 1
                 status = "fetched"
-                for link in extract_links_py(html, u.url_canon,
-                                             cfg.link_selector):
+                for link in self._page_links(u, html, round_no,
+                                             round_cursors):
                     if link not in cand_set:
                         cand_set.add(link)
                         new_candidates.append(link)
@@ -187,6 +193,10 @@ class CrawlSimulator:
             self.frontier[canon] = u
             n_new += 1
 
+        # pagination cursor state: per-host max cursor this round (matches
+        # CrawlEngine._pagination_links' deterministic groupBy-max rule)
+        self.pag_state.update(round_cursors)
+
         # domain adaptation state
         for domain, att in per_domain_att.items():
             errs = per_domain_err.get(domain, 0)
@@ -201,6 +211,24 @@ class CrawlSimulator:
         return {"round": round_no, "scheduled": len(scheduled),
                 "fetched": n_fetched, "new_urls": n_new,
                 "pending": pending_left}
+
+    def _page_links(self, u: SimURL, html, round_no: int,
+                    round_cursors: dict[str, str]) -> list[str]:
+        """Mirror of the engine's per-page link step: DOM-dependent
+        pagination next-URL when a spec is set, else full link extraction."""
+        spec = self.cfg.pagination_spec
+        if spec is not None and spec.type in ("cursor", "next_button"):
+            if spec.type == "cursor":
+                nxt, cur = cursor_next_url(spec, u.url_canon, html, round_no)
+                if cur != "":
+                    round_cursors[u.host] = max(
+                        round_cursors.get(u.host, ""), cur)
+                if cur == self.pag_state.get(u.host, ""):
+                    nxt = None  # repeated cursor vs previous round -> stop
+            else:
+                nxt = next_button_next_url(spec, u.url_canon, html, round_no)
+            return [normalize_url(nxt)] if nxt is not None else []
+        return extract_links_py(html, u.url_canon, self.cfg.link_selector)
 
     def run(self, seeds, max_rounds: int | None = None) -> list[dict]:
         self.init(seeds)

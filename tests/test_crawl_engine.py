@@ -164,3 +164,90 @@ def test_canonicalization_collapses_dupes(crawled):
     fetched = [row[3] for row in log if row[6] == "fetched"]
     assert len(fetched) == len(set(fetched))
     assert not any("utm_" in u or "#" in u or ":443" in u for u in fetched)
+
+
+# ---------------------------------------------------------------------------
+# DOM-dependent pagination driving the round loop (cursor / next_button)
+# ---------------------------------------------------------------------------
+
+
+def _cursor_web():
+    """Two hosts, each a cursor-paginated chain: the seed page carries
+    cursor c1, page(c1) carries c2, page(c2) repeats c2 (chain end —
+    the reference's repeated-cursor stop, pagination_strategies.go:144-149).
+    Host b's chain is one page shorter (empty cursor ends it)."""
+    def page(host, qs, cursor):
+        url = f"https://{host}/feed" + (f"?{qs}" if qs else "")
+        cur = f'<div class="next-cursor">{cursor}</div>' if cursor else ""
+        html = (f"<html><body><h1>{host}:{qs or 'seed'}</h1>{cur}"
+                f'<a href="/never/follow">x</a></body></html>')
+        return (url, None, html.encode(), "", "en")
+
+    rows = [
+        page("a.ex.com", "", "c1"),
+        page("a.ex.com", "cursor=c1&limit=10", "c2"),
+        page("a.ex.com", "cursor=c2&limit=10", "c2"),   # repeated -> stop
+        page("b.ex.com", "", "k1"),
+        page("b.ex.com", "cursor=k1&limit=10", ""),     # no cursor -> stop
+    ]
+    seeds = [("https://a.ex.com/feed", 5), ("https://b.ex.com/feed", 5)]
+    return rows, seeds, {}
+
+
+def test_cursor_pagination_crawl_matches_oracle(spark, tmp_path):
+    from datascrapexter_spark.frontier.pagination import PaginationSpec
+
+    spec = PaginationSpec(type="cursor", cursor_selector=".next-cursor",
+                          limit=10, max_pages=10)
+    cfg = make_cfg(pagination_spec=spec, max_rounds=6)
+    web = _cursor_web()
+    engine, stats = run_spark_crawl(spark, tmp_path, web, cfg)
+
+    sim = CrawlSimulator.from_raw(web[0], web[2], cfg)
+    sim.run(web[1])
+    assert spark_log(engine) == sim.sorted_log()
+    spark_seen = {r["url_hash"] for r in engine.seen_hashes().collect()}
+    assert spark_seen == sim.seen
+
+    # the crawl followed ONLY cursor next-URLs (never the /never/follow
+    # anchor), one page per host per round, and stopped on cursor
+    # repeat/absence: host a fetches 3 pages, host b fetches 2
+    fetched = [row[3] for row in spark_log(engine) if row[6] == "fetched"]
+    assert sorted(fetched) == [
+        "https://a.ex.com/feed",
+        "https://a.ex.com/feed?cursor=c1&limit=10",
+        "https://a.ex.com/feed?cursor=c2&limit=10",
+        "https://b.ex.com/feed",
+        "https://b.ex.com/feed?cursor=k1&limit=10",
+    ]
+
+
+def test_next_button_pagination_crawl(spark, tmp_path):
+    from datascrapexter_spark.frontier.pagination import PaginationSpec
+
+    def page(path, next_href, disabled=False):
+        cls = "next disabled" if disabled else "next"
+        nxt = (f'<a class="{cls}" href="{next_href}">next</a>'
+               if next_href is not None else "")
+        html = f"<html><body><h1>{path}</h1>{nxt}</body></html>"
+        return (f"https://s.ex.com{path}", None, html.encode(), "", "en")
+
+    rows = [
+        page("/p/1", "/p/2"),
+        page("/p/2", "/p/3"),
+        page("/p/3", "/p/4", disabled=True),  # disabled class ends chain
+        page("/p/4", None),
+    ]
+    web = (rows, [("https://s.ex.com/p/1", 5)], {})
+    spec = PaginationSpec(type="next_button", selector="a.next",
+                          max_pages=10)
+    cfg = make_cfg(pagination_spec=spec, max_rounds=6)
+    engine, _ = run_spark_crawl(spark, tmp_path, web, cfg)
+
+    sim = CrawlSimulator.from_raw(web[0], web[2], cfg)
+    sim.run(web[1])
+    assert spark_log(engine) == sim.sorted_log()
+    fetched = [row[3] for row in spark_log(engine) if row[6] == "fetched"]
+    assert sorted(fetched) == [
+        "https://s.ex.com/p/1", "https://s.ex.com/p/2", "https://s.ex.com/p/3",
+    ]

@@ -101,3 +101,50 @@ def test_run_job_with_offset_pagination_seeds(spark, tmp_path):
     titles = sorted(r["title"] for r in results.collect())
     # offsets 0 (seed), 2, 4 expanded up-front; 6 excluded (>= max_offset)
     assert titles == ["Offset 0", "Offset 2", "Offset 4"]
+
+
+def test_run_job_with_cursor_pagination(spark, tmp_path):
+    """Cursor configs drive the round loop end-to-end (the reference's
+    CursorStrategy, pagination_strategies.go:95-205): each round follows the
+    page's extracted cursor; repeated cursor ends the chain."""
+    def page(qs, cursor, label):
+        url = "https://api.example.com/feed" + (f"?{qs}" if qs else "")
+        cur = f'<span class="nc">{cursor}</span>' if cursor else ""
+        html = f"<html><body><h1>{label}</h1>{cur}</body></html>"
+        return (url, html.encode())
+
+    pages = spark.createDataFrame(
+        [page("", "c1", "P0"),
+         page("cursor=c1&limit=10", "c2", "P1"),
+         page("cursor=c2&limit=10", "c2", "P2")],   # repeat -> stop
+        "url string, html binary")
+    config = {
+        "name": "cursor-job",
+        "urls": ["https://api.example.com/feed"],
+        "fields": [{"name": "title", "selector": "h1", "type": "text"}],
+        "pagination": {"type": "cursor", "cursor_selector": ".nc",
+                       "limit": 10, "max_pages": 6},
+    }
+    results, stats = run_scrape_job(
+        spark, config, pages, state_root=str(tmp_path / "state"))
+    titles = sorted(r["title"] for r in results.collect())
+    assert titles == ["P0", "P1", "P2"]
+    # one page per round along the chain
+    assert [s["fetched"] for s in stats[:3]] == [1, 1, 1]
+
+
+def test_run_job_unknown_pagination_type_raises(spark, tmp_path):
+    import pytest
+
+    pages = spark.createDataFrame(
+        [("https://x.example.com/a", b"<html></html>")],
+        "url string, html binary")
+    config = {
+        "name": "bad-pagination",
+        "urls": ["https://x.example.com/a"],
+        "fields": [{"name": "t", "selector": "h1", "type": "text"}],
+        "pagination": {"type": "scroll"},
+    }
+    with pytest.raises(ValueError, match="unknown pagination type"):
+        run_scrape_job(spark, config, pages,
+                       state_root=str(tmp_path / "state"))
