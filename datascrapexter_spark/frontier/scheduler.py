@@ -101,6 +101,18 @@ class CrawlConfig:
     # (zero shuffle) to the distributed cogroup probe (shards never leave
     # executors) — at 10^10 URLs the filter is tens of GiB
     bloom_broadcast_max_bytes: int = 32 << 20
+    # circuit breaker per domain (reference: internal/utils/performance.go:
+    # 426-515, config-gated wiring engine.go:264-300, default maxFailures=5
+    # errors/service.go:14). Round-wise rendering: breaker_failures
+    # accumulates fetch failures across rounds and resets to 0 on ANY
+    # success (recordSuccess resets the count); reaching
+    # quarantine_max_failures opens the breaker -> the domain is skipped
+    # while round <= quarantined_until (pending URLs stay pending), then
+    # HALF-OPEN: the first round after expiry probes with budget 1 —
+    # success closes the breaker, failure re-opens it. 0 = disabled
+    # (the reference's ErrorRecovery block is opt-in).
+    quarantine_max_failures: int = 0
+    quarantine_reset_rounds: int = 2
 
 
 class CrawlEngine:
@@ -178,7 +190,8 @@ class CrawlEngine:
             self._bloom_partials(seen, 0)
         )
         empty_state = self.spark.createDataFrame(
-            [], "domain string, err_rate double, consec_err int")
+            [], "domain string, err_rate double, consec_err int, "
+                "breaker_failures int, quarantined_until int")
         sids["domain_state"] = self.store["domain_state"].overwrite(empty_state)
         sids["pagination_state"] = self.store["pagination_state"].overwrite(
             self.spark.createDataFrame([], "host string, last_cursor string"))
@@ -268,10 +281,24 @@ class CrawlEngine:
         # --- budgets (pure Column recurrence over previous-round state) ---
         delays = self._domain_delays_df()
         prev_state = self._read("domain_state")
+        if "breaker_failures" not in prev_state.columns:  # pre-breaker state
+            prev_state = (
+                prev_state.withColumn("breaker_failures", F.lit(0))
+                .withColumn("quarantined_until", F.lit(None).cast("int")))
+
+        # --- circuit breaker gate: open domains are skipped entirely ---
+        if cfg.quarantine_max_failures > 0:
+            quarantined = prev_state.filter(
+                F.coalesce("quarantined_until", F.lit(-1)) >= round_no
+            ).select("domain")
+            eligible = eligible.join(
+                F.broadcast(quarantined), "domain", "left_anti")
+
         domains = eligible.select("domain").distinct()
         budgets = (
             domains.join(F.broadcast(delays), "domain", "left")
-            .join(F.broadcast(prev_state), "domain", "left")
+            .join(F.broadcast(prev_state.select(
+                "domain", "err_rate", "consec_err")), "domain", "left")
             .select(
                 "domain",
                 tokens_per_round(
@@ -280,6 +307,17 @@ class CrawlEngine:
                 ).alias("tokens"),
             )
         )
+        if cfg.quarantine_max_failures > 0:
+            # half-open: first round after expiry probes with budget 1
+            half = prev_state.filter(
+                F.col("quarantined_until") == round_no - 1
+            ).select("domain", F.lit(True).alias("_half"))
+            budgets = (
+                budgets.join(F.broadcast(half), "domain", "left")
+                .withColumn("tokens", F.when(F.col("_half"), F.lit(1))
+                            .otherwise(F.col("tokens")))
+                .drop("_half")
+            )
 
         scheduled = schedule_topk(eligible, budgets, pol).cache()
 
@@ -394,21 +432,53 @@ class CrawlEngine:
             F.when(F.col("found"), "fetched").otherwise("miss").alias("status"),
         )
 
-        # --- domain adaptation state for the next round ---
+        # --- domain adaptation + breaker state for the next round ---
+        # full-outer merge so UNSCHEDULED domains (e.g. quarantined) keep
+        # their state — matching the oracle simulator's persistent dict
         round_err = (
             fetched.groupBy("domain")
             .agg(F.count("*").alias("att"),
-                 F.sum((~F.col("found")).cast("long")).alias("errs"))
-            .withColumn("err_rate", F.col("errs") / F.col("att"))
+                 F.sum((~F.col("found")).cast("long")).alias("errs"),
+                 F.sum(F.col("found").cast("long")).alias("succ"))
+            .withColumn("r_err_rate", F.col("errs") / F.col("att"))
         )
-        new_domain_state = (
-            round_err.join(F.broadcast(prev_state.select("domain", "consec_err")),
-                           "domain", "left")
-            .select(
-                "domain", "err_rate",
-                next_consec_errors(F.col("err_rate"), F.col("consec_err"),
-                                   pol).alias("consec_err"),
-            )
+        prev_s = prev_state.select(
+            "domain",
+            F.col("err_rate").alias("p_err_rate"),
+            F.col("consec_err").alias("p_consec"),
+            F.col("breaker_failures").alias("p_breaker"),
+            F.col("quarantined_until").alias("p_quar"),
+        )
+        merged = round_err.join(prev_s, "domain", "full")
+        attempted = F.col("att").isNotNull()
+        new_consec = F.when(
+            attempted,
+            next_consec_errors(F.col("r_err_rate"), F.col("p_consec"), pol),
+        ).otherwise(F.coalesce("p_consec", F.lit(0)))
+        # recordSuccess resets the failure count on ANY success
+        # (performance.go:503-510), rendered round-wise
+        new_breaker = (
+            F.when(~attempted, F.coalesce("p_breaker", F.lit(0)))
+            .when(F.col("succ") > 0, F.lit(0))
+            .otherwise(F.coalesce("p_breaker", F.lit(0)) + F.col("errs"))
+        ).cast("int")
+        if cfg.quarantine_max_failures > 0:
+            # (re-)open only on an attempted round's failures — an already
+            # open, unattempted domain keeps its expiry so it can half-open
+            new_quar = (
+                F.when(attempted & (new_breaker >= cfg.quarantine_max_failures),
+                       F.lit(round_no + cfg.quarantine_reset_rounds))
+                .otherwise(F.col("p_quar"))
+            ).cast("int")
+        else:
+            new_quar = F.lit(None).cast("int")
+        new_domain_state = merged.select(
+            "domain",
+            F.when(attempted, F.col("r_err_rate"))
+            .otherwise(F.col("p_err_rate")).alias("err_rate"),
+            new_consec.cast("int").alias("consec_err"),
+            new_breaker.alias("breaker_failures"),
+            new_quar.alias("quarantined_until"),
         )
 
         # --- checkpoint + round commit ---

@@ -54,6 +54,8 @@ class CrawlSimulator:
     domain_state: dict[str, tuple[float, int]] = field(default_factory=dict)
     crawl_log: list[tuple] = field(default_factory=list)
     pag_state: dict[str, str] = field(default_factory=dict)  # host -> cursor
+    breaker: dict[str, int] = field(default_factory=dict)    # domain -> fails
+    quarantined_until: dict[str, int] = field(default_factory=dict)
 
     @classmethod
     def from_raw(cls, pages_rows, robots_texts, cfg: CrawlConfig):
@@ -139,6 +141,13 @@ class CrawlSimulator:
             else:
                 u.state = "blocked"
 
+        # circuit breaker gate: open domains are skipped entirely
+        # (pending URLs stay pending; half-open probes with budget 1)
+        max_fail = self.cfg.quarantine_max_failures
+        if max_fail > 0:
+            eligible = [u for u in eligible
+                        if self.quarantined_until.get(u.domain, -1) < round_no]
+
         # per-domain top-k, ordered (priority desc, round_added, url_hash)
         by_domain: dict[str, list[SimURL]] = {}
         for u in eligible:
@@ -146,9 +155,13 @@ class CrawlSimulator:
 
         scheduled: list[tuple[SimURL, int]] = []
         for domain in by_domain:
+            tokens = self._tokens(domain)
+            if max_fail > 0 and \
+                    self.quarantined_until.get(domain) == round_no - 1:
+                tokens = 1  # half-open probe
             urls = sorted(by_domain[domain],
                           key=lambda u: (-u.priority, u.round_added, u.url_hash))
-            for seq, u in enumerate(urls[: self._tokens(domain)], start=1):
+            for seq, u in enumerate(urls[:tokens], start=1):
                 scheduled.append((u, seq))
 
         # fetch + links
@@ -197,7 +210,7 @@ class CrawlSimulator:
         # CrawlEngine._pagination_links' deterministic groupBy-max rule)
         self.pag_state.update(round_cursors)
 
-        # domain adaptation state
+        # domain adaptation + breaker state
         for domain, att in per_domain_att.items():
             errs = per_domain_err.get(domain, 0)
             err_rate = errs / att
@@ -205,6 +218,14 @@ class CrawlSimulator:
             consec = prev_consec + 1 \
                 if err_rate > cfg.politeness.error_rate_threshold else 0
             self.domain_state[domain] = (err_rate, consec)
+            # any success resets the failure count (recordSuccess)
+            if errs < att:
+                self.breaker[domain] = 0
+            else:
+                self.breaker[domain] = self.breaker.get(domain, 0) + errs
+            if max_fail > 0 and self.breaker[domain] >= max_fail:
+                self.quarantined_until[domain] = (
+                    round_no + cfg.quarantine_reset_rounds)
 
         pending_left = sum(1 for u in self.frontier.values()
                            if u.state == "pending")

@@ -251,3 +251,50 @@ def test_next_button_pagination_crawl(spark, tmp_path):
     assert sorted(fetched) == [
         "https://s.ex.com/p/1", "https://s.ex.com/p/2", "https://s.ex.com/p/3",
     ]
+
+
+# ---------------------------------------------------------------------------
+# circuit breaker / host quarantine
+# ---------------------------------------------------------------------------
+
+
+def test_circuit_breaker_quarantine_reopen(spark, tmp_path):
+    """Open after N consecutive failures, skip while quarantined, half-open
+    probe on expiry, close on success — bit-exact vs the oracle simulator.
+
+    q.ex.com: seeds = missing m1 (priority 9) + present r1 (priority 5),
+    budget 1/round (crawl-delay 1s, 0.5s rounds). Timeline (max_failures=2,
+    reset=2, max_attempts=3):
+      R1 m1 miss (breaker 1) ; R2 m1 miss (breaker 2 -> open until R4)
+      R3-R4 skipped          ; R5 half-open probe: m1 miss -> failed at
+                               attempts cap, breaker 3 -> re-open until R7
+      R6-R7 skipped          ; R8 half-open probe: r1 FETCHED -> closed
+    """
+    rows = [("https://q.ex.com/real", None,
+             b"<html><body><h1>R</h1></body></html>", "", "en")]
+    seeds = [("https://q.ex.com/missing", 9), ("https://q.ex.com/real", 5)]
+    robots = {"q.ex.com": "User-agent: *\nCrawl-delay: 1\n"}
+    web = (rows, seeds, robots)
+    pol = PolitenessConfig(requests_per_second=2.0, round_seconds=0.5,
+                           max_pages_per_round_per_domain=6, n_salts=4)
+    cfg = CrawlConfig(politeness=pol, max_attempts=3, max_rounds=10,
+                      quarantine_max_failures=2, quarantine_reset_rounds=2)
+    engine, stats = run_spark_crawl(spark, tmp_path, web, cfg)
+
+    sim = CrawlSimulator.from_raw(web[0], web[2], cfg)
+    sim_stats = sim.run(web[1])
+    assert spark_log(engine) == sim.sorted_log()
+    for s_spark, s_sim in zip(stats, sim_stats):
+        for k in ("round", "scheduled", "fetched", "new_urls", "pending"):
+            assert s_spark[k] == s_sim[k], (k, s_spark, s_sim)
+
+    log = spark_log(engine)
+    by_round = {}
+    for row in log:
+        by_round.setdefault(row[0], []).append(row)
+    # quarantined rounds schedule nothing; probes are single-URL
+    assert set(by_round) == {1, 2, 5, 8}
+    assert [r for r in (3, 4, 6, 7) if r in by_round] == []
+    assert len(by_round[5]) == 1 and by_round[5][0][6] == "miss"
+    assert len(by_round[8]) == 1 and by_round[8][0][6] == "fetched"
+    assert by_round[8][0][3] == "https://q.ex.com/real"
