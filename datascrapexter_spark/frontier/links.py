@@ -27,8 +27,22 @@ LINKS_SCHEMA = T.StructType([
 ])
 
 
+def is_sitemap_url(url: str) -> bool:
+    """Sitemap pages get <loc>-element extraction instead of anchors."""
+    path = url.split("?", 1)[0].split("#", 1)[0]
+    return path.endswith((".xml", "/sitemap")) and "sitemap" in path.rsplit(
+        "/", 1)[-1]
+
+
 def extract_links_py(html, base_url: str, selector: str = "a[href]") -> list[str]:
-    """Ordered, per-page-deduped canonical out-links of one page."""
+    """Ordered, per-page-deduped canonical out-links of one page.
+
+    Sitemap URLs (…/sitemap*.xml) are parsed for <loc> entries — the
+    sitemap protocol's URL list (the reference exposes the sitemap URLs via
+    GetSitemaps, compliance_test.go:250-252; consuming them is this
+    engine's frontier generalization)."""
+    if is_sitemap_url(base_url):
+        return _sitemap_locs(html, base_url)
     doc = parse_html(html or "")
     seen: set[str] = set()
     out: list[str] = []
@@ -37,6 +51,25 @@ def extract_links_py(html, base_url: str, selector: str = "a[href]") -> list[str
         if not href or href.startswith(("#", "javascript:", "mailto:", "tel:")):
             continue
         absolute = resolve_url(base_url, href)
+        if not is_valid_url(absolute):
+            continue
+        canon = normalize_url(absolute)
+        if canon not in seen:
+            seen.add(canon)
+            out.append(canon)
+    return out
+
+
+def _sitemap_locs(html, base_url: str) -> list[str]:
+    """Canonical URLs from a sitemap's <loc> elements (urlset entries)."""
+    doc = parse_html(html or "")
+    seen: set[str] = set()
+    out: list[str] = []
+    for node in select(doc, "loc"):
+        raw = node.text().strip()
+        if not raw:
+            continue
+        absolute = resolve_url(base_url, raw)
         if not is_valid_url(absolute):
             continue
         canon = normalize_url(absolute)

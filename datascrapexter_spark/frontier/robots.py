@@ -10,12 +10,14 @@ Reference: /root/reference/internal/compliance/compliance_test.go
   GetSitemaps  :250-252
 
 The parser is pure Python; the engine materializes parsed rules as a
-DataFrame `(host, user_agent, rule_order, pattern, allow)` +
-`(host, user_agent, crawl_delay_s)` and BROADCAST-joins them against the
-frontier (robots tables are tiny relative to a 10^10 frontier). The
-allow/deny decision itself runs in an Arrow-batched UDF over (host, path)
-with the broadcast rule dict — prefix matching with first-match-wins isn't
-expressible as a pure equi-join without exploding rules x URLs.
+DataFrame `(host, user_agent, rule_order, pattern, allow)`, folds it to
+one ORDERED rules-array row per host (`rules_array_df`), and BROADCAST-
+joins that against the frontier (robots tables are tiny relative to a
+10^10 frontier — and they never transit the driver as a pickled closure).
+The allow/deny decision is pure codegen (`allowed_rules_col`: filter the
+sorted rules array by prefix match, take element 1) — no Python crossing
+at all. `RobotsIndex.allowed*` remains as the exact-semantics Python twin
+used by the sequential oracle simulator and parity tests.
 """
 
 from __future__ import annotations
@@ -23,6 +25,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -117,3 +121,58 @@ class RobotsIndex:
             [self.allowed(user_agent, h, p) for h, p in zip(hosts, paths)],
             dtype="bool",
         )
+
+    def all_sitemaps(self) -> list[str]:
+        """Every Sitemap URL across hosts (GetSitemaps,
+        compliance_test.go:250-252), deterministic order."""
+        out: list[str] = []
+        for host in sorted(self.by_host):
+            out.extend(self.by_host[host].sitemaps)
+        return out
+
+    def rules_df(self, spark: SparkSession) -> DataFrame:
+        """Flatten to the SURVEY §2.8 rules table
+        (host, user_agent, rule_order, pattern, allow)."""
+        rows: list[tuple] = []
+        for host in sorted(self.by_host):
+            rows.extend(rules_rows(host, self.by_host[host]))
+        schema = ("host string, user_agent string, rule_order int, "
+                  "pattern string, allow boolean")
+        return spark.createDataFrame(rows, schema) if rows else \
+            spark.createDataFrame([], schema)
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-native robots gate (the 10^8-host scale path): rules live in a
+# broadcast-joined table, the allow/deny decision is pure codegen — no
+# driver-side dict is ever pickled into a UDF closure.
+# ---------------------------------------------------------------------------
+
+
+def rules_array_df(rules: DataFrame, user_agent: str) -> DataFrame:
+    """(host, rules array<struct<rule_order,pattern,allow>>) with the UA
+    override resolved: UA-specific rules REPLACE '*' entirely when present
+    for a host (IsDisallowed semantics, compliance_test.go:226-238), and
+    the array is sorted by rule_order so element 1 of the prefix-filtered
+    array is the first-matching rule."""
+    spec = (rules.filter(F.col("user_agent") == user_agent)
+            .select("host").distinct().withColumn("_spec", F.lit(True)))
+    rel = (
+        rules.filter(F.col("user_agent").isin([user_agent, "*"]))
+        .join(spec, "host", "left")
+        .filter((F.col("user_agent") == user_agent) | F.col("_spec").isNull())
+    )
+    return rel.groupBy("host").agg(
+        F.sort_array(
+            F.collect_list(F.struct("rule_order", "pattern", "allow"))
+        ).alias("rules")
+    )
+
+
+def allowed_rules_col(path_col: Column, rules_col: Column) -> Column:
+    """First matching PREFIX rule wins; no rules / no match -> allowed.
+    Pure expressions (filter + try_element_at), whole-stage codegen."""
+    matched = F.filter(rules_col,
+                       lambda r: path_col.startswith(r["pattern"]))
+    first = F.try_element_at(matched, F.lit(1))
+    return F.coalesce(first["allow"], F.lit(True))

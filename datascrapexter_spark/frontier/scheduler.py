@@ -53,7 +53,7 @@ from .politeness import (
     schedule_topk,
     tokens_per_round,
 )
-from .robots import RobotsIndex
+from .robots import RobotsIndex, allowed_rules_col, rules_array_df
 from .state import StateStore
 
 FRONTIER_SCHEMA = T.StructType([
@@ -113,6 +113,10 @@ class CrawlConfig:
     # (the reference's ErrorRecovery block is opt-in).
     quarantine_max_failures: int = 0
     quarantine_reset_rounds: int = 2
+    # seed robots.txt Sitemap URLs into the frontier (the reference only
+    # EXPOSES GetSitemaps, compliance_test.go:250-252 — consuming them is
+    # opt-in); fetched sitemap pages yield their <loc> URLs as out-links
+    seed_sitemaps: bool = False
 
 
 class CrawlEngine:
@@ -123,6 +127,13 @@ class CrawlEngine:
         self.store = store
         self.cfg = config or CrawlConfig()
         self.robots = RobotsIndex.from_texts(robots_texts or {})
+        # rules as a DataFrame folded to one ordered-array row per host,
+        # cached for broadcast at every round's gate (SURVEY §2.8 rules
+        # table) — rules never ride a pickled UDF closure, so 10^8-host
+        # crawls stay off the driver (swap createDataFrame for a table
+        # read at that scale; the gate is unchanged)
+        self.robots_rules = rules_array_df(
+            self.robots.rules_df(spark), self.cfg.user_agent).cache()
         self.pages = self._prepare_pages(pages).cache()
         self.allowed_hosts: set[str] | None = None
         self._snapshot_ids: dict[str, int | None] = {}
@@ -168,6 +179,13 @@ class CrawlEngine:
         """Seed the frontier. seeds: (url[, priority])."""
         if "priority" not in seeds.columns:
             seeds = seeds.withColumn("priority", F.lit(self.cfg.default_priority))
+        if self.cfg.seed_sitemaps:
+            sitemaps = self.robots.all_sitemaps()
+            if sitemaps:
+                sm = self.spark.createDataFrame(
+                    [(u, self.cfg.default_priority) for u in sitemaps],
+                    "url string, priority int")
+                seeds = seeds.select("url", "priority").unionByName(sm)
         canon = (
             seeds.withColumn("url_canon", normalize_url_udf("url"))
             .select("url_canon", "priority")
@@ -263,18 +281,16 @@ class CrawlEngine:
         frontier = self._read("frontier")
         pending = frontier.filter(F.col("state") == "pending")
 
-        # --- robots gate (broadcast rules; Arrow-batched prefix match) ---
-        robots = self.robots
-        ua = cfg.user_agent
-
-        @F.pandas_udf(T.BooleanType())
-        def allowed_udf(hosts: pd.Series, paths: pd.Series) -> pd.Series:
-            return robots.allowed_series(ua, hosts, paths)
-
+        # --- robots gate: broadcast rules-array join + codegen prefix
+        # match (no Python crossing, no driver-pickled rule dict) ---
         with_path = pending.withColumn(
             "path", F.coalesce(F.parse_url("url_canon", F.lit("PATH")), F.lit("")))
-        gated = with_path.withColumn(
-            "allowed", allowed_udf("host", "path")).drop("path").cache()
+        gated = (
+            with_path.join(F.broadcast(self.robots_rules), "host", "left")
+            .withColumn("allowed",
+                        allowed_rules_col(F.col("path"), F.col("rules")))
+            .drop("path", "rules")
+        ).cache()
         blocked = gated.filter(~F.col("allowed")).drop("allowed")
         eligible = gated.filter(F.col("allowed")).drop("allowed")
 

@@ -86,6 +86,11 @@ class CrawlSimulator:
         )
 
     def init(self, seeds: list[tuple[str, int]]) -> None:
+        if self.cfg.seed_sitemaps:
+            seeds = list(seeds) + [
+                (u, self.cfg.default_priority)
+                for u in self.robots.all_sitemaps()
+            ]
         best: dict[str, int] = {}
         for url, priority in seeds:
             canon = normalize_url(url)

@@ -298,3 +298,34 @@ def test_circuit_breaker_quarantine_reopen(spark, tmp_path):
     assert len(by_round[5]) == 1 and by_round[5][0][6] == "miss"
     assert len(by_round[8]) == 1 and by_round[8][0][6] == "fetched"
     assert by_round[8][0][3] == "https://q.ex.com/real"
+
+
+def test_sitemap_seeding(spark, tmp_path):
+    """With seed_sitemaps=True, robots Sitemap URLs enter the frontier and
+    fetched sitemaps yield their <loc> URLs — a page linked ONLY from the
+    sitemap gets crawled; bit-exact vs the oracle simulator."""
+    host = "sm.ex.com"
+    sitemap_xml = (
+        '<?xml version="1.0"?><urlset>'
+        f"<url><loc>https://{host}/only-in-sitemap</loc></url>"
+        f"<url><loc>https://{host}/home</loc></url></urlset>"
+    )
+    rows = [
+        (f"https://{host}/home", None,
+         b"<html><body><h1>home</h1></body></html>", "", "en"),
+        (f"https://{host}/sitemap.xml", None, sitemap_xml.encode(), "", "en"),
+        (f"https://{host}/only-in-sitemap", None,
+         b"<html><body><h1>hidden</h1></body></html>", "", "en"),
+    ]
+    robots = {host: f"User-agent: *\nSitemap: https://{host}/sitemap.xml\n"}
+    seeds = [(f"https://{host}/home", 5)]
+    web = (rows, seeds, robots)
+    cfg = make_cfg(seed_sitemaps=True, max_rounds=4)
+    engine, _ = run_spark_crawl(spark, tmp_path, web, cfg)
+
+    sim = CrawlSimulator.from_raw(web[0], web[2], cfg)
+    sim.run(web[1])
+    assert spark_log(engine) == sim.sorted_log()
+    fetched = {row[3] for row in spark_log(engine) if row[6] == "fetched"}
+    assert f"https://{host}/only-in-sitemap" in fetched
+    assert f"https://{host}/sitemap.xml" in fetched

@@ -111,3 +111,50 @@ def test_manifest_commit_is_atomic(spark, tmp_path):
     with open(stray, "w") as fh:
         fh.write("{corrupt")
     assert t.read(spark).count() == 5
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-native robots gate (broadcast rules array + codegen prefix match)
+# ---------------------------------------------------------------------------
+
+
+def test_rules_array_gate_matches_python_twin(spark):
+    """allowed_rules_col over the broadcast rules table must agree with
+    RobotsIndex.allowed for every (ua, host, path) — including UA-override
+    replacement, first-match-wins ordering, hosts without robots, and empty
+    Allow patterns — and its plan must contain NO Python UDF."""
+    from pyspark.sql import functions as F
+
+    from datascrapexter_spark.frontier.robots import (
+        RobotsIndex,
+        allowed_rules_col,
+        rules_array_df,
+    )
+
+    texts = {
+        "a.com": ROBOTS_FIXTURE,
+        "b.com": "User-agent: *\nAllow: /private/open\nDisallow: /private/\n",
+        "c.com": "User-agent: *\nAllow:\nDisallow: /x/\n",  # empty Allow kept
+    }
+    idx = RobotsIndex.from_texts(texts)
+    paths = ["/private/page", "/private/open", "/public/page", "/api/e",
+             "/data/f", "/x/secret", "/", ""]
+    hosts = ["a.com", "b.com", "c.com", "norobots.com"]
+
+    for ua in ("*", "DataScrapexter"):
+        rules = rules_array_df(idx.rules_df(spark), ua)
+        rows = [(h, p) for h in hosts for p in paths]
+        df = (
+            spark.createDataFrame(rows, "host string, path string")
+            .join(F.broadcast(rules), "host", "left")
+            .withColumn("allowed",
+                        allowed_rules_col(F.col("path"), F.col("rules")))
+        )
+        got = {(r["host"], r["path"]): r["allowed"] for r in df.collect()}
+        for h in hosts:
+            for p in paths:
+                assert got[(h, p)] == idx.allowed(ua, h, p), (ua, h, p)
+
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan or "Broadcast" in plan
+        assert "Python" not in plan and "ArrowEval" not in plan
