@@ -15,7 +15,14 @@ single-file-small (yaml), mirroring the reference's whole-file writers:
   parquet  df.write.parquet         (declared at output/types.go:21; archive
                                      config configs/news-media.yaml:320-325
                                      adds snappy + partition_by)
-  jdbc     df.write.jdbc            (postgresql.go/sqlite.go batched INSERT)
+  xml      executor-rendered record fragments + driver root wrapper
+                                    (xml.go whole-file; see xmlsink.py)
+  sqlite   stdlib sqlite3, batched transactions + conflict strategies
+                                    (sqlite.go; see dbsinks.py)
+  jdbc / postgresql
+           df.write.jdbc(batchsize) (postgresql.go; options["url"] required;
+                                     see dbsinks.write_jdbc for the conflict-
+                                     strategy contract)
   yaml     driver-side dump          (yaml.go whole-file)
   stdout   df.show                   (manager.go default)
 """
@@ -27,7 +34,8 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-SUPPORTED_FORMATS = ("json", "jsonl", "csv", "parquet", "stdout", "yaml")
+SUPPORTED_FORMATS = ("json", "jsonl", "csv", "parquet", "stdout", "yaml",
+                     "xml", "sqlite", "jdbc", "postgresql")
 
 
 def write_output(
@@ -37,14 +45,46 @@ def write_output(
     partition_by: list[str] | None = None,
     compression: str | None = None,
     mode: str = "overwrite",
+    options: dict | None = None,
 ) -> None:
-    """Format-dispatch writer (OutputManager.WriteResults parity)."""
+    """Format-dispatch writer (OutputManager.WriteResults parity).
+    `options` carries format-specific settings: table / batch_size /
+    on_conflict (sqlite, jdbc), url / properties (jdbc), root_element /
+    record_element (xml)."""
     fmt = fmt.lower()
+    opts = options or {}
     if fmt == "stdout":
         df.show(truncate=False)
         return
+    if fmt in ("jdbc", "postgresql"):
+        from .dbsinks import write_jdbc
+
+        url = opts.get("url")
+        if not url:
+            raise ValueError("jdbc output requires options['url'] "
+                             "(manager.go:105-107 connection_string)")
+        write_jdbc(df, url, table=opts.get("table", "scraped_data"),
+                   batch_size=int(opts.get("batch_size", 1000)),
+                   on_conflict=opts.get("on_conflict", "error"),
+                   mode=opts.get("mode", "append"),
+                   properties=opts.get("properties"))
+        return
     if path is None:
         raise ValueError(f"format {fmt!r} requires a path")
+    if fmt == "sqlite":
+        from .dbsinks import write_sqlite
+
+        write_sqlite(df, path, table=opts.get("table", "scraped_data"),
+                     batch_size=int(opts.get("batch_size", 1000)),
+                     on_conflict=opts.get("on_conflict", "ignore"))
+        return
+    if fmt == "xml":
+        from .xmlsink import write_xml
+
+        write_xml(df, path,
+                  root_element=opts.get("root_element", "data"),
+                  record_element=opts.get("record_element", "record"))
+        return
     if fmt in ("json", "jsonl"):
         w = df.write.mode(mode)
         if compression:

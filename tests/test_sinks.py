@@ -68,3 +68,159 @@ def test_unknown_format_rejected(spark, df, tmp_path):
         write_output(df, "excel", str(tmp_path / "x"))
     with pytest.raises(ValueError):
         write_output(df, "json", None)
+
+
+# ---------------------------------------------------------------------------
+# SQLite sink (stdlib sqlite3; sqlite.go parity)
+# ---------------------------------------------------------------------------
+
+
+def test_sqlite_sink_roundtrip(spark, tmp_path):
+    import sqlite3
+
+    rows = [(1, "a", 1.5, True, ["x", "y"]), (2, "b", 2.5, False, [])]
+    df = spark.createDataFrame(
+        rows, "id long, name string, score double, ok boolean, "
+              "tags array<string>")
+    path = str(tmp_path / "out.db")
+    write_output(df, "sqlite", path, options={"table": "scraped_data"})
+
+    con = sqlite3.connect(path)
+    try:
+        # reference table shape: autoincrement id + data cols + created_at
+        cols = [r[1] for r in con.execute(
+            "PRAGMA table_info(scraped_data)").fetchall()]
+        assert cols == ["id", "name", "score", "ok", "tags", "created_at"]
+        got = sorted(con.execute(
+            "SELECT name, score, ok, tags FROM scraped_data").fetchall())
+        assert got == [("a", 1.5, 1, '["x","y"]'), ("b", 2.5, 0, "[]")]
+    finally:
+        con.close()
+
+
+def test_sqlite_conflict_strategies(spark, tmp_path):
+    """ignore keeps the first row, replace keeps the last, error raises —
+    sqlite.go:354-373 strategies over a UNIQUE column."""
+    import sqlite3
+
+    from datascrapexter_spark.sources.dbsinks import write_sqlite
+
+    path = str(tmp_path / "c.db")
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE scraped_data (id INTEGER PRIMARY KEY "
+                "AUTOINCREMENT, k TEXT UNIQUE, v TEXT, "
+                "created_at DATETIME DEFAULT CURRENT_TIMESTAMP)")
+    con.commit()
+    con.close()
+
+    first = spark.createDataFrame([("a", "old")], "k string, v string")
+    dup = spark.createDataFrame([("a", "new")], "k string, v string")
+    write_sqlite(first, path, on_conflict="ignore")
+
+    write_sqlite(dup, path, on_conflict="ignore")
+    con = sqlite3.connect(path)
+    assert con.execute("SELECT v FROM scraped_data WHERE k='a'").fetchone() \
+        == ("old",)
+    con.close()
+
+    write_sqlite(dup, path, on_conflict="replace")
+    con = sqlite3.connect(path)
+    assert con.execute("SELECT v FROM scraped_data WHERE k='a'").fetchone() \
+        == ("new",)
+    con.close()
+
+    with pytest.raises(Exception):
+        write_sqlite(dup, path, on_conflict="error")
+
+
+def test_conflict_insert_sql_generation():
+    """PostgreSQL statements are generated-and-tested (no server/driver jar
+    in this sandbox; postgresql.go:330-355 shapes)."""
+    from datascrapexter_spark.sources.dbsinks import (
+        conflict_insert_sql,
+        create_table_sql,
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ])
+    ddl = create_table_sql("scraped_data", schema, "postgresql")
+    assert ddl.startswith(
+        'CREATE TABLE IF NOT EXISTS "public"."scraped_data"')
+    assert '"url" TEXT' in ddl and '"n" BIGINT' in ddl
+    assert "created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP" in ddl
+
+    ins = conflict_insert_sql("scraped_data", ["url", "n"], "ignore",
+                              "postgresql")
+    assert ins == ('INSERT INTO "public"."scraped_data" ("url", "n") '
+                   "VALUES (%s, %s) ON CONFLICT DO NOTHING")
+    assert conflict_insert_sql("t", ["a"], "error", "postgresql") \
+        == 'INSERT INTO "public"."t" ("a") VALUES (%s)'
+    assert conflict_insert_sql("t", ["a"], "ignore", "sqlite") \
+        == 'INSERT OR IGNORE INTO "t" ("a") VALUES (?)'
+    assert conflict_insert_sql("t", ["a"], "replace", "sqlite") \
+        == 'INSERT OR REPLACE INTO "t" ("a") VALUES (?)'
+    with pytest.raises(ValueError):
+        conflict_insert_sql("t", ["a"], "replace", "postgresql")
+    with pytest.raises(ValueError):
+        conflict_insert_sql("t", ["a"], "upsert", "sqlite")
+
+
+def test_jdbc_requires_url_and_refuses_silent_downgrade(spark, df, tmp_path):
+    from datascrapexter_spark.sources.dbsinks import write_jdbc
+
+    with pytest.raises(ValueError, match="url"):
+        write_output(df, "jdbc", None, options={})
+    with pytest.raises(NotImplementedError, match="staging"):
+        write_jdbc(df, "jdbc:postgresql://x/db", on_conflict="ignore")
+
+
+# ---------------------------------------------------------------------------
+# XML sink (xml.go parity: sorted keys, type attrs, item_N arrays, nil)
+# ---------------------------------------------------------------------------
+
+
+def test_xml_sink_golden(spark, tmp_path):
+    rows = [(1, "a <&> 'b'", None, ["x", "y"], {"k": "v"})]
+    df = spark.createDataFrame(
+        rows, "id long, name string, missing string, tags array<string>, "
+              "meta map<string,string>")
+    path = str(tmp_path / "out.xml")
+    write_output(df, "xml", path)
+    text = open(path).read()
+    expected = """<?xml version="1.0" encoding="UTF-8"?>
+<data>
+  <record>
+    <id type="integer">1</id>
+    <meta type="object">
+      <k type="string">v</k>
+    </meta>
+    <missing nil="true"></missing>
+    <name type="string">a &lt;&amp;&gt; &#39;b&#39;</name>
+    <tags type="array" length="2">
+      <item_0 type="string">x</item_0>
+      <item_1 type="string">y</item_1>
+    </tags>
+  </record>
+</data>
+"""
+    assert text == expected
+
+
+def test_xml_name_sanitization_and_fragments(spark):
+    from datascrapexter_spark.sources.xmlsink import (
+        sanitize_xml_name,
+        xml_fragments_df,
+    )
+
+    assert sanitize_xml_name("9bad name!") == "_bad_name_"
+    assert sanitize_xml_name("") == "element"
+    assert sanitize_xml_name("good-name.x") == "good-name.x"
+
+    df = spark.createDataFrame([(i, f"n{i}") for i in range(5)],
+                               "id long, name string")
+    frags = xml_fragments_df(df).collect()
+    assert len(frags) == 5
+    assert all(f["fragment"].lstrip().startswith("<record>") for f in frags)
