@@ -468,6 +468,12 @@ s AS (
 SELECT id_a, id_b, round(cos, 6)::DOUBLE AS cos FROM s WHERE cos >= 0.99
 """,
     "q23_embedding_neardup_lsh": _embedding_neardup_lsh_sql(64, 0.99, 8, 2),
+    "q24_enrichment": """
+SELECT o_orderkey, c_mktsegment AS segment, n_name AS nation, o_totalprice
+FROM orders
+LEFT JOIN customer ON o_custkey = c_custkey
+LEFT JOIN nation ON c_nationkey = n_nationkey
+""",
     "q21_validation_rules": """
 WITH v AS (
   SELECT p_partkey, p_name, p_type,

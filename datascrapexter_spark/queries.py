@@ -391,6 +391,27 @@ def q23_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+def q24_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class enrichment operator (DataEnricher, components.go:266-316):
+    two chained enrichers — customer attrs onto orders, then nation name —
+    each a broadcast left join that never drops records."""
+    from .ops.enrich import enrich
+
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    step1 = enrich(orders, cust, on="o_custkey", broadcast=True)
+    step2 = enrich(step1, nation, on="nationkey", broadcast=True)
+    return step2.select("o_orderkey", "segment", "nation", "o_totalprice")
+
+
 def q19_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID, quality scores, token counts, fingerprint — one pass,
     all codegen expressions."""
@@ -536,5 +557,6 @@ QUERIES = {
     "q21_validation_rules": q21_validation_rules,
     "q22_embedding_neardup": q22_embedding_neardup,
     "q23_embedding_neardup_lsh": q23_embedding_neardup_lsh,
+    "q24_enrichment": q24_enrichment,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

@@ -320,3 +320,42 @@ def test_attach_media_column(spark):
     assert out["media"]["media_type"] == "image"
     assert out["media"]["byte_len"] == 3
     assert out["media"]["width"] is None
+
+
+# ---------------------------------------------------------------------------
+# enrichment
+# ---------------------------------------------------------------------------
+
+
+def test_enrich_merge_and_conflict_semantics(spark):
+    from datascrapexter_spark.ops.enrich import enrich
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, "keep"), (3, "c", "orig")],
+        "k long, name string, note string")
+    src = spark.createDataFrame(
+        [(1, "X", "s1"), (2, "Y", "s2")],
+        "k long, extra string, note string")
+
+    # default fill-only: original non-null values win; unmatched keys null
+    out = {r["k"]: r for r in enrich(df, src, on="k").collect()}
+    assert out[1]["extra"] == "X" and out[1]["note"] == "s1"   # null filled
+    assert out[2]["note"] == "keep"                            # kept
+    assert out[3]["extra"] is None and out[3]["note"] == "orig"
+
+    # overwrite: source wins where non-null
+    ow = {r["k"]: r for r in enrich(df, src, on="k", overwrite=True).collect()}
+    assert ow[2]["note"] == "s2" and ow[3]["note"] == "orig"
+
+    # prefix applies to newly added columns
+    pf = enrich(df, src, on="k", prefix="enr_")
+    assert "enr_extra" in pf.columns and "note" in pf.columns
+
+    # broadcast=True pins a broadcast hash join
+    plan = (enrich(df, src, on="k", broadcast=True)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+
+    import pytest
+    with pytest.raises(ValueError, match="both sides"):
+        enrich(df, src.drop("k"), on="k")
