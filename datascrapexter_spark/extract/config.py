@@ -78,11 +78,16 @@ class ScraperConfig:
     pagination: PaginationConfig | None = None
     continue_on_error: bool = True
     output_format: str = "json"
+    output_file: str = ""
     requests_per_second: float = 2.0
     burst: int = 5
     max_crawl_delay_s: float = 10.0
     max_pages_per_host: int = 10
     user_agent: str = "DataScrapexter"
+    timeout: str = ""                    # Go duration string ("30s")
+    retries: int = 0
+    error_threshold: int = 0
+    error_threshold_percent: float = 0.0
 
     def validate(self) -> None:
         if not self.name:
@@ -91,6 +96,21 @@ class ScraperConfig:
             raise ValueError("at least one field is required")
         for f in self.fields:
             f.validate()
+
+    def validate_extended(self):
+        """The reference's enhanced cross-field validation
+        (internal/config/validation.go): returns the detailed
+        ValidationResult; raises ValueError with the formatted report when
+        any error is present."""
+        from .config_validation import (
+            format_validation_error,
+            validate_with_details,
+        )
+
+        result = validate_with_details(self)
+        if not result.valid:
+            raise ValueError(format_validation_error(result))
+        return result
 
 
 def load_config(source: str | dict) -> ScraperConfig:
@@ -131,6 +151,12 @@ def load_config(source: str | dict) -> ScraperConfig:
         pagination=pag,
         continue_on_error=bool(data.get("continue_on_error", True)),
         output_format=(data.get("output", {}) or {}).get("format", "json"),
+        output_file=(data.get("output", {}) or {}).get("file", ""),
+        timeout=str(data.get("timeout", "") or ""),
+        retries=int(data.get("retries", 0) or 0),
+        error_threshold=int(data.get("error_threshold", 0) or 0),
+        error_threshold_percent=float(
+            data.get("error_threshold_percent", 0.0) or 0.0),
     )
     rl = data.get("rate_limit") or {}
     if rl:
