@@ -117,6 +117,9 @@ class CrawlConfig:
     # EXPOSES GetSitemaps, compliance_test.go:250-252 — consuming them is
     # opt-in); fetched sitemap pages yield their <loc> URLs as out-links
     seed_sitemaps: bool = False
+    # GDPR TLD gate (compliance.py): "off" (reference's checker is
+    # unwired) or "block" — EU-TLD domains get state 'blocked_gdpr'
+    gdpr_mode: str = "off"
 
 
 class CrawlEngine:
@@ -294,6 +297,15 @@ class CrawlEngine:
         blocked = gated.filter(~F.col("allowed")).drop("allowed")
         eligible = gated.filter(F.col("allowed")).drop("allowed")
 
+        # --- GDPR TLD gate (compliance.py; opt-in) ---
+        gdpr_blocked = None
+        if cfg.gdpr_mode == "block":
+            from .compliance import gdpr_required_col
+
+            gflag = gdpr_required_col(F.col("domain"))
+            gdpr_blocked = eligible.filter(gflag)
+            eligible = eligible.filter(~gflag)
+
         # --- budgets (pure Column recurrence over previous-round state) ---
         delays = self._domain_delays_df()
         prev_state = self._read("domain_state")
@@ -431,6 +443,10 @@ class CrawlEngine:
             "url_hash", F.lit("blocked").alias("new_state"),
             F.col("attempts").alias("new_attempts"))
         updates = done.unionByName(missed).unionByName(blocked_upd)
+        if gdpr_blocked is not None:
+            updates = updates.unionByName(gdpr_blocked.select(
+                "url_hash", F.lit("blocked_gdpr").alias("new_state"),
+                F.col("attempts").alias("new_attempts")))
 
         new_frontier = (
             frontier.join(updates, "url_hash", "left")

@@ -468,6 +468,27 @@ s AS (
 SELECT id_a, id_b, round(cos, 6)::DOUBLE AS cos FROM s WHERE cos >= 0.99
 """,
     "q23_embedding_neardup_lsh": _embedding_neardup_lsh_sql(64, 0.99, 8, 2),
+    "q25_gdpr_flags": """
+WITH t AS (
+  SELECT (['.com', '.de', '.fr', '.co.uk', '.jp', '.eu', '.nl'])
+           [(c_custkey % 7) + 1] AS tld,
+         'shop' || (c_custkey % 100) ||
+         (['.com', '.de', '.fr', '.co.uk', '.jp', '.eu', '.nl'])
+           [(c_custkey % 7) + 1] AS domain
+  FROM customer
+),
+f AS (
+  SELECT tld, domain,
+         (suffix(domain, '.de') OR suffix(domain, '.fr')
+          OR suffix(domain, '.co.uk') OR suffix(domain, '.eu')
+          OR suffix(domain, '.it') OR suffix(domain, '.es')
+          OR suffix(domain, '.nl')) AS gdpr
+  FROM t
+)
+SELECT tld, gdpr, count(*) AS n_domains,
+       count(DISTINCT domain) AS n_distinct
+FROM f GROUP BY tld, gdpr
+""",
     "q24_enrichment": """
 SELECT o_orderkey, c_mktsegment AS segment, n_name AS nation, o_totalprice
 FROM orders

@@ -391,6 +391,28 @@ def q23_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+def q25_gdpr_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR TLD compliance gate (compliance_test.go:280-288) as a codegen
+    column over synthesized multi-TLD domains: per-TLD counts of domains
+    requiring GDPR handling."""
+    from .frontier.compliance import gdpr_required_col
+
+    tlds = [".com", ".de", ".fr", ".co.uk", ".jp", ".eu", ".nl"]
+    cust = load(spark, sf_dir, "customer")
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in tlds]),
+        (F.pmod(F.col("c_custkey"), F.lit(len(tlds))) + 1).cast("int"),
+    )
+    domain = F.concat(F.lit("shop"), (F.col("c_custkey") % 100).cast("string"),
+                      tld)
+    flagged = cust.select(tld.alias("tld"), domain.alias("domain"),
+                          gdpr_required_col(domain).alias("gdpr"))
+    return flagged.groupBy("tld", "gdpr").agg(
+        F.count("*").alias("n_domains"),
+        F.countDistinct("domain").alias("n_distinct"),
+    )
+
+
 def q24_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-class enrichment operator (DataEnricher, components.go:266-316):
     two chained enrichers — customer attrs onto orders, then nation name —
@@ -558,5 +580,6 @@ QUERIES = {
     "q22_embedding_neardup": q22_embedding_neardup,
     "q23_embedding_neardup_lsh": q23_embedding_neardup_lsh,
     "q24_enrichment": q24_enrichment,
+    "q25_gdpr_flags": q25_gdpr_flags,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

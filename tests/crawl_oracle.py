@@ -138,13 +138,20 @@ class CrawlSimulator:
         pending = [u for u in self.frontier.values() if u.state == "pending"]
 
         # robots gate (parse_url PATH parity: path of canonical URL)
+        from datascrapexter_spark.frontier.compliance import (
+            requires_gdpr_compliance,
+        )
+
         eligible: list[SimURL] = []
         for u in pending:
             path = urlsplit(u.url_canon).path
-            if self.robots.allowed(cfg.user_agent, u.host, path):
-                eligible.append(u)
-            else:
+            if not self.robots.allowed(cfg.user_agent, u.host, path):
                 u.state = "blocked"
+            elif cfg.gdpr_mode == "block" and \
+                    requires_gdpr_compliance(u.domain):
+                u.state = "blocked_gdpr"
+            else:
+                eligible.append(u)
 
         # circuit breaker gate: open domains are skipped entirely
         # (pending URLs stay pending; half-open probes with budget 1)

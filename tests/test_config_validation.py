@@ -214,3 +214,81 @@ fields:
     # config with no fields fails the operational gate
     with pytest.raises(ValueError, match="at least one field"):
         load_config({"name": "x", "urls": ["https://a.com"], "fields": []})
+
+
+# ---------------------------------------------------------------------------
+# config cache (config.go:241-420) + templates (:737-836)
+# ---------------------------------------------------------------------------
+
+
+def test_config_cache_content_hash_invalidation(tmp_path):
+    from datascrapexter_spark.extract.config_cache import ConfigCache
+
+    p = tmp_path / "job.yaml"
+    p.write_text("""
+name: cached
+urls: [https://a.com]
+fields: [{name: t, selector: h1}]
+""")
+    cache = ConfigCache(capacity=2)
+    c1 = cache.get(str(p))
+    c2 = cache.get(str(p))
+    assert c1 is c2                      # content unchanged -> same object
+    assert cache.stats.hits == 1 and cache.stats.misses == 1
+
+    # touching mtime alone must NOT invalidate (hash is content-based)
+    import os
+    os.utime(p)
+    assert cache.get(str(p)) is c1
+
+    # an edited file must reload
+    p.write_text(p.read_text().replace("cached", "edited"))
+    c3 = cache.get(str(p))
+    assert c3 is not c1 and c3.name == "edited"
+
+    # LRU eviction at capacity
+    for i in range(3):
+        q = tmp_path / f"x{i}.yaml"
+        q.write_text(f"""
+name: x{i}
+urls: [https://a.com]
+fields: [{{name: t, selector: h1}}]
+""")
+        cache.get(str(q))
+    assert len(cache) == 2 and cache.stats.evictions >= 1
+
+
+def test_generate_templates():
+    from datascrapexter_spark.extract.config_cache import generate_template
+
+    ec = generate_template("ecommerce")
+    assert ec.name == "ecommerce_scraper"
+    assert [f.name for f in ec.fields] == ["title", "price", "description",
+                                           "image"]
+    assert ec.fields[3].type == "attr" and ec.fields[3].attribute == "src"
+    ec.validate()  # every template must pass the operational gate
+
+    news = generate_template("news")
+    assert news.output_file == "articles.json" and len(news.fields) == 4
+    news.validate()
+
+    basic = generate_template("anything-else")
+    assert basic.name == "basic_scraper"
+    basic.validate()
+
+
+def test_env_vars_not_expanded(tmp_path):
+    """Parity: the reference does NOT expand ${VARS} in YAML configs
+    (edge_case_test.go:483-570 expectations)."""
+    import os
+
+    os.environ["DSX_TEST_HOST"] = "should-not-appear.com"
+    try:
+        cfg = load_config("""
+name: env
+base_url: https://${DSX_TEST_HOST}/x
+fields: [{name: t, selector: h1}]
+""")
+        assert cfg.base_url == "https://${DSX_TEST_HOST}/x"
+    finally:
+        del os.environ["DSX_TEST_HOST"]

@@ -329,3 +329,52 @@ def test_sitemap_seeding(spark, tmp_path):
     fetched = {row[3] for row in spark_log(engine) if row[6] == "fetched"}
     assert f"https://{host}/only-in-sitemap" in fetched
     assert f"https://{host}/sitemap.xml" in fetched
+
+
+def test_gdpr_block_mode(spark, tmp_path):
+    """gdpr_mode='block': EU-TLD domains are never scheduled (state
+    blocked_gdpr), others crawl normally; bit-exact sim parity."""
+    rows = [
+        ("https://ok.example.com/a", None, b"<html><h1>a</h1></html>", "", "en"),
+        ("https://shop.example.de/a", None, b"<html><h1>de</h1></html>", "", "en"),
+        ("https://biz.example.co.uk/a", None, b"<html><h1>uk</h1></html>", "", "en"),
+    ]
+    seeds = [("https://ok.example.com/a", 5), ("https://shop.example.de/a", 5),
+             ("https://biz.example.co.uk/a", 5)]
+    web = (rows, seeds, {})
+    cfg = make_cfg(gdpr_mode="block", max_rounds=3)
+    engine, _ = run_spark_crawl(spark, tmp_path, web, cfg)
+
+    sim = CrawlSimulator.from_raw(web[0], web[2], cfg)
+    sim.run(web[1])
+    assert spark_log(engine) == sim.sorted_log()
+
+    fetched = {row[3] for row in spark_log(engine) if row[6] == "fetched"}
+    assert fetched == {"https://ok.example.com/a"}
+    states = {r["url_canon"]: r["state"]
+              for r in engine._read("frontier").collect()}
+    assert states["https://shop.example.de/a"] == "blocked_gdpr"
+    assert states["https://biz.example.co.uk/a"] == "blocked_gdpr"
+
+
+def test_compliance_report_and_gdpr_twin():
+    from datascrapexter_spark.frontier.compliance import (
+        generate_report,
+        requires_gdpr_compliance,
+    )
+    from datascrapexter_spark.frontier.robots import parse_robots_txt
+
+    # compliance_test.go:101-123 table, verbatim
+    assert requires_gdpr_compliance("example.de")
+    assert requires_gdpr_compliance("example.fr")
+    assert requires_gdpr_compliance("example.co.uk")
+    assert not requires_gdpr_compliance("example.com")
+    assert not requires_gdpr_compliance("example.jp")
+
+    robots = parse_robots_txt("User-agent: *\nDisallow: /private/\n"
+                              "Crawl-delay: 2\n")
+    rep = generate_report(robots, "example.de", "*", "/public/x")
+    assert rep.robots_compliant and rep.recommended_delay_s == 2.0
+    assert rep.gdpr_required and rep.risk_level == "low"
+    rep2 = generate_report(robots, "example.com", "*", "/private/x")
+    assert not rep2.robots_compliant and rep2.risk_level == "high"
