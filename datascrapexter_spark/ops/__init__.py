@@ -12,4 +12,4 @@ independent SQL oracle; frontier identity hashing stays xxhash64 per the
 north rule.
 """
 
-from . import dedup, multimodal, similarity, textstats  # noqa: F401
+from . import dedup, enrich, multimodal, similarity, textstats  # noqa: F401

@@ -1,12 +1,18 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths:
+Three paths:
   * `cosine_topk`         exact brute-force top-k (broadcast the queries,
                           scan the corpus once) — the correctness baseline.
   * `ann_topk_lsh`        signed-random-projection LSH buckets: corpus and
                           queries are bucketed by hyperplane sign bits and
                           only same-bucket pairs are scored — the scale
                           path (candidate generation is an equi-join).
+  * `ivf_topk`            IVF-flat: corpus inverted-listed by nearest
+                          deterministic centroid, queries probe n_probe
+                          cells — the scale path when the corpus is
+                          persisted partitioned by cell (partition-pruned
+                          probes); n_probe == n_centroids reproduces the
+                          exact result (recall-1 identity, tested).
 
 Hyperplanes are deterministic: weight(plane p, dim d) = +1 if the first
 hex digit of md5(f"plane{p}dim{d}") >= 8 else -1, computed driver-side
@@ -120,6 +126,107 @@ def ann_topk_lsh(
     if round_to is not None:
         cos = F.round(cos, round_to)
     scored = c.join(F.broadcast(q), "bucket").withColumn("cos", cos)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cos", "rank")
+    )
+
+
+def pick_centroids(corpus: DataFrame, id_col: str, vec_col: str,
+                   n_centroids: int) -> list[list[float]]:
+    """Deterministic IVF centroids: the n corpus vectors with the smallest
+    (md5(id), id) — a reproducible sample standing in for k-means (the
+    standard IVF training step; any engine can re-derive the same pick).
+    Centroids are driver-scale BY DESIGN (IVF uses 2^4..2^16 of them) and
+    ship to executors as literals."""
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            as_double_array(vec_col).alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("m"),
+        )
+        .orderBy("m", "id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r["v"]) for r in rows]
+
+
+def _centroid_array(cents: list[list[float]]) -> Column:
+    return F.array(*[
+        F.struct(
+            F.lit(i).alias("cell"),
+            F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
+        )
+        for i, c in enumerate(cents)
+    ])
+
+
+def assign_cells_col(vec: Column, cents: list[list[float]],
+                     round_to: int = 6) -> Column:
+    """Nearest-centroid cell id, per row, zero shuffle: one fold over the
+    centroid literal array (ties -> smaller cell, matching a
+    (cos DESC, cell ASC) rank). At 2^14+ centroids swap this for an
+    Arrow-batched numpy argmax (matrix multiply) — the contract (cell id
+    per vector) is unchanged."""
+    acc0 = F.struct(F.lit(-2.0).alias("cos"), F.lit(-1).alias("cell"))
+
+    def step(a, s):
+        cos = F.round(cosine_sim_col(vec, s["cvec"]), round_to)
+        better = cos > a["cos"]
+        return F.struct(
+            F.when(better, cos).otherwise(a["cos"]).alias("cos"),
+            F.when(better, s["cell"]).otherwise(a["cell"]).alias("cell"),
+        )
+
+    return F.aggregate(_centroid_array(cents), acc0, step)["cell"]
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors are inverted-listed by
+    nearest centroid; each query probes its `n_probe` nearest cells and
+    scores exact cosine only there.
+
+    Same output shape as `cosine_topk` (qid, cid, cos, rank); recall is
+    governed by n_probe/n_centroids. Scale path: persist the corpus
+    PARTITIONED BY cell so a probe is a partition-pruned scan + equi-join;
+    assignment is a per-row fold over broadcast centroid literals (no
+    shuffle, no cross join).
+    """
+    cents = pick_centroids(corpus, id_col, vec_col, n_centroids)
+    c = corpus.select(
+        F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv")
+    ).withColumn("cell", assign_cells_col(F.col("cv"), cents, round_to or 6))
+
+    # query probes: rank all centroids per query, keep the n_probe nearest
+    q = queries.select(
+        F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv")
+    ).withColumn("_c", F.explode(_centroid_array(cents)))
+    qcos = F.round(cosine_sim_col(F.col("qv"), F.col("_c.cvec")), round_to or 6)
+    wq = Window.partitionBy("qid").orderBy(F.col("_qcos").desc(),
+                                           F.col("_c.cell").asc())
+    probes = (
+        q.withColumn("_qcos", qcos)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("qid", "qv", F.col("_c.cell").alias("cell"))
+    )
+
+    cos = cosine_sim_col(F.col("qv"), F.col("cv"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = c.join(F.broadcast(probes), "cell").withColumn("cos", cos)
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

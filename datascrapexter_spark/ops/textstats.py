@@ -122,3 +122,59 @@ def fingerprint_col(text: Column | str, hex_chars: int = 16) -> Column:
     docs only as a *prefilter*; exact dedup still compares full digests.
     """
     return F.substring(F.md5(normalize_text_col(text)), 1, hex_chars)
+
+
+def repetition_columns(text: Column | str, round_to: int = 6) -> dict[str, Column]:
+    """Repetition-based quality features (Gopher-style repetition filters,
+    Rae et al. 2021 §A1.1 — fraction-of-duplicates measures), all pure
+    codegen and SQL-reproducible:
+
+      distinct_token_ratio   |distinct tokens| / |tokens|
+      top_token_ratio        occurrences of the most frequent token / |tokens|
+      dup_bigram_ratio       1 - |distinct word 2-grams| / |2-grams|
+      dup_line_ratio         1 - |distinct lines| / |lines|   (split on \\n)
+
+    High top_token_ratio / dup_* values flag boilerplate and degenerate
+    (repeated-phrase) documents for corpus filtering.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens_col(c)
+    n = F.size(toks)
+    safe_n = F.greatest(n, F.lit(1))
+    distinct_ratio = F.size(F.array_distinct(toks)) / safe_n
+
+    # most-frequent-token count without a shuffle: sort the per-doc array
+    # and fold the longest equal-run — O(n log n) per doc (a naive
+    # distinct×occurrences scan would go quadratic on long documents)
+    sorted_t = F.array_sort(toks)
+    run_acc = F.aggregate(
+        sorted_t,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda a, t: F.struct(
+            t.alias("prev"),
+            F.when(t == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(t == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_ratio = run_acc["best"] / safe_n
+
+    from .dedup import shingles_col
+
+    bigrams = shingles_col(c, 2)
+    n_bi = F.greatest(F.size(bigrams), F.lit(1))
+    dup_bigram = F.lit(1.0) - F.size(F.array_distinct(bigrams)) / n_bi
+
+    lines = F.filter(F.split(c, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    dup_line = F.lit(1.0) - F.size(F.array_distinct(lines)) / n_lines
+
+    return {
+        "distinct_token_ratio": F.round(distinct_ratio, round_to).cast("double"),
+        "top_token_ratio": F.round(top_ratio, round_to).cast("double"),
+        "dup_bigram_ratio": F.round(dup_bigram, round_to).cast("double"),
+        "dup_line_ratio": F.round(dup_line, round_to).cast("double"),
+    }

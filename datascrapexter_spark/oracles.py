@@ -243,6 +243,108 @@ SELECT id_a, id_b, round(cos, 6)::DOUBLE AS cos FROM s WHERE cos >= {threshold}
 """
 
 
+def _ivf_sql(k: int = 5, n_queries: int = 10, n_centroids: int = 16,
+             n_probe: int = 4) -> str:
+    """Reproduces similarity.ivf_topk: md5-picked centroids, nearest-cell
+    assignment (cos DESC, cell ASC), n_probe query cells, exact in-cell
+    cosine top-k."""
+    return f"""
+WITH {_EMB_EXPLODED},
+cpick AS (
+  SELECT cvid, cell FROM (
+    SELECT vec_id AS cvid,
+           (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+            - 1)::INT AS cell
+    FROM embeddings
+  ) WHERE cell < {n_centroids}
+),
+ce AS (SELECT c.cell, e.i, e.v FROM cpick c JOIN e ON e.vec_id = c.cvid),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+nc AS (SELECT cell, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY cell),
+ac AS (
+  SELECT a.vec_id, c.cell,
+         round(sum(a.v * c.v) / (any_value(na.nrm) * any_value(ncc.nrm)), 6) AS cos
+  FROM e a
+  JOIN ce c ON c.i = a.i
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN nc ncc ON ncc.cell = c.cell
+  GROUP BY a.vec_id, c.cell
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cell ASC) AS rn
+    FROM ac
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cell ASC) AS rn
+    FROM ac WHERE vec_id < {n_queries}
+  ) WHERE rn <= {n_probe}
+),
+cand AS (SELECT p.qid, a.vec_id AS cid FROM probes p
+         JOIN assign a ON a.cell = p.cell),
+d AS (
+  SELECT c.qid, c.cid, sum(q.v * t.v) AS dot
+  FROM cand c
+  JOIN e q ON q.vec_id = c.qid
+  JOIN e t ON t.vec_id = c.cid AND t.i = q.i
+  GROUP BY c.qid, c.cid
+),
+s AS (
+  SELECT qid, cid, round(dot / (nq.nrm * nt.nrm), 6)::DOUBLE AS cos
+  FROM d JOIN n nq ON nq.vec_id = d.qid JOIN n nt ON nt.vec_id = d.cid
+),
+r AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC)::INT AS rank
+  FROM s
+)
+SELECT qid, cid, cos, rank FROM r WHERE rank <= {k}
+"""
+
+
+_REPETITION_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '[ {T}{N}{R}]+') AS toks
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                        i -> array_to_string(toks[i:i+1], ' ')) AS bigrams
+  FROM t
+),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
+top AS (SELECT doc_id, max(c) AS mx FROM tc GROUP BY doc_id),
+ln AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '{N}'),
+                     x -> trim(x) != '') AS lines
+  FROM t
+)
+SELECT t.doc_id,
+       round(len(list_distinct(t.toks))::DOUBLE
+             / greatest(len(t.toks), 1), 6)::DOUBLE AS distinct_token_ratio,
+       round(coalesce(top.mx, 0)::DOUBLE
+             / greatest(len(t.toks), 1), 6)::DOUBLE AS top_token_ratio,
+       round(1.0 - len(list_distinct(bi.bigrams))::DOUBLE
+             / greatest(len(bi.bigrams), 1), 6)::DOUBLE AS dup_bigram_ratio,
+       round(1.0 - len(list_distinct(ln.lines))::DOUBLE
+             / greatest(len(ln.lines), 1), 6)::DOUBLE AS dup_line_ratio
+FROM t
+JOIN bi ON bi.doc_id = t.doc_id
+JOIN ln ON ln.doc_id = t.doc_id
+LEFT JOIN top ON top.doc_id = t.doc_id
+""".replace("{T}", "\t").replace("{N}", "\n").replace("{R}", "\r")
+
+
 def _text_stats_sql() -> str:
     def lst(lang: str) -> str:
         return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
@@ -468,6 +570,8 @@ s AS (
 SELECT id_a, id_b, round(cos, 6)::DOUBLE AS cos FROM s WHERE cos >= 0.99
 """,
     "q23_embedding_neardup_lsh": _embedding_neardup_lsh_sql(64, 0.99, 8, 2),
+    "q26_ann_ivf": _ivf_sql(5, 10, 16, 4),
+    "q27_repetition_stats": _REPETITION_SQL,
     "q25_gdpr_flags": """
 WITH t AS (
   SELECT (['.com', '.de', '.fr', '.co.uk', '.jp', '.eu', '.nl'])

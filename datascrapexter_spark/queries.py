@@ -391,6 +391,27 @@ def q23_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+def q26_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN top-5: deterministic md5-picked centroids, corpus
+    inverted-listed by nearest cell, queries probe their 4 nearest cells."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+
+
+def q27_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality features — one pass, all codegen."""
+    docs = load(spark, sf_dir, "documents")
+    rc = textstats.repetition_columns("text")
+    return docs.select(
+        "doc_id",
+        rc["distinct_token_ratio"].alias("distinct_token_ratio"),
+        rc["top_token_ratio"].alias("top_token_ratio"),
+        rc["dup_bigram_ratio"].alias("dup_bigram_ratio"),
+        rc["dup_line_ratio"].alias("dup_line_ratio"),
+    )
+
+
 def q25_gdpr_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDPR TLD compliance gate (compliance_test.go:280-288) as a codegen
     column over synthesized multi-TLD domains: per-TLD counts of domains
@@ -581,5 +602,7 @@ QUERIES = {
     "q23_embedding_neardup_lsh": q23_embedding_neardup_lsh,
     "q24_enrichment": q24_enrichment,
     "q25_gdpr_flags": q25_gdpr_flags,
+    "q26_ann_ivf": q26_ann_ivf,
+    "q27_repetition_stats": q27_repetition_stats,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

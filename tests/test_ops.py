@@ -359,3 +359,81 @@ def test_enrich_merge_and_conflict_semantics(spark):
     import pytest
     with pytest.raises(ValueError, match="both sides"):
         enrich(df, src.drop("k"), on="k")
+
+
+def test_ivf_topk_full_probe_equals_exact(spark):
+    """Probing every cell (n_probe == n_centroids) must reproduce the exact
+    brute-force top-k bit-for-bit — the IVF recall-1 identity."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 3)
+
+    exact = sorted(
+        (r["qid"], r["rank"], r["cid"], r["cos"])
+        for r in similarity.cosine_topk(df, queries, k=4).collect()
+    )
+    full_probe = sorted(
+        (r["qid"], r["rank"], r["cid"], r["cos"])
+        for r in similarity.ivf_topk(df, queries, k=4, n_centroids=4,
+                                     n_probe=4).collect()
+    )
+    assert full_probe == exact
+
+    # partial probe: a subset with identical (qid, cid) -> cos values
+    part = {
+        (r["qid"], r["cid"]): r["cos"]
+        for r in similarity.ivf_topk(df, queries, k=4, n_centroids=4,
+                                     n_probe=1).collect()
+    }
+    ex = {(r["qid"], r["cid"]): r["cos"]
+          for r in similarity.cosine_topk(df, queries, k=40).collect()}
+    for key, cos in part.items():
+        assert cos == pytest.approx(ex[key])
+
+
+def test_ivf_cell_assignment_deterministic(spark):
+    """Cell assignment ties resolve to the smaller cell id and the
+    assignment is reproducible across runs."""
+    rows = [(i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 0.0])
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.pick_centroids(df, "vec_id", "embedding", 3)
+    assert len(cents) == 3
+    out1 = df.select(
+        "vec_id",
+        similarity.assign_cells_col(
+            dedup.as_double_array("embedding"), cents).alias("cell"),
+    ).collect()
+    out2 = df.select(
+        "vec_id",
+        similarity.assign_cells_col(
+            dedup.as_double_array("embedding"), cents).alias("cell"),
+    ).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    assert all(0 <= r["cell"] < 3 for r in out1)
+
+
+def test_repetition_columns(spark):
+    rows = [
+        (1, "a a a b"),                    # top token 'a' x3 of 4
+        (2, "x y z w"),                    # all distinct
+        (3, "l1\nl1\nl2\n\n"),             # duplicate line
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rc = textstats.repetition_columns("text")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[rc[k].alias(k) for k in rc]).collect()
+    }
+    assert got[1]["top_token_ratio"] == pytest.approx(0.75)
+    assert got[1]["distinct_token_ratio"] == pytest.approx(0.5)
+    # bigrams of doc1: "a a", "a a", "a b" -> 2 distinct of 3
+    assert got[1]["dup_bigram_ratio"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert got[2]["top_token_ratio"] == pytest.approx(0.25)
+    assert got[2]["dup_bigram_ratio"] == pytest.approx(0.0)
+    # doc3 lines: l1, l1, l2 (empty filtered) -> 2 distinct of 3
+    assert got[3]["dup_line_ratio"] == pytest.approx(1 - 2 / 3, abs=1e-6)
