@@ -86,6 +86,36 @@ def tokens_per_round(delay_col, err_rate_col, consec_col, cfg: PolitenessConfig)
     ).cast("int")
 
 
+def tokens_per_round_py(delay_s: float, err_rate: float | None,
+                        consec: int | None, cfg: PolitenessConfig) -> int:
+    """Exact Python twin of `tokens_per_round` — shared by the sequential
+    oracle simulator and the streaming stateful operator so every surface
+    computes the same budget."""
+    import math
+
+    eff_delay = min(delay_s, cfg.max_crawl_delay_s)
+    if eff_delay > 0.0:
+        eff_rps = min(cfg.requests_per_second, 1.0 / eff_delay)
+    else:
+        eff_rps = cfg.requests_per_second
+    err = err_rate or 0.0
+    consec = consec or 0
+    if err > cfg.error_rate_threshold:
+        slowdown = min(1.0 + err * cfg.error_rate_multiplier, cfg.max_slowdown)
+    else:
+        slowdown = 1.0
+    penalty = min(1.0 + 0.5 * consec, cfg.max_penalty)
+    total = min(slowdown * penalty, cfg.max_penalty)
+    raw = math.floor(cfg.round_seconds * eff_rps / total)
+    return max(1, min(raw, cfg.max_pages_per_round_per_domain))
+
+
+def next_consec_errors_py(err_rate: float | None, consec: int | None,
+                          cfg: PolitenessConfig) -> int:
+    err = err_rate or 0.0
+    return (consec or 0) + 1 if err > cfg.error_rate_threshold else 0
+
+
 def interval_multiplier(err_rate_col, consec_col, prev_mult_col,
                         cfg: PolitenessConfig):
     """updateAdaptiveRate's interval multiplier (ratelimiter.go:363-409),

@@ -81,3 +81,85 @@ def write_stream_parquet(agg: DataFrame, path: str, checkpoint_dir: str,
         .outputMode(output_mode)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: streaming AdaptiveRateLimiter
+# ---------------------------------------------------------------------------
+
+RATE_STATE_SCHEMA = T.StructType([
+    T.StructField("consec_err", T.IntegerType()),
+    T.StructField("batches_seen", T.IntegerType()),
+])
+
+RATE_OUT_SCHEMA = T.StructType([
+    T.StructField("domain", T.StringType()),
+    T.StructField("batch_no", T.IntegerType()),
+    T.StructField("attempts", T.LongType()),
+    T.StructField("errors", T.LongType()),
+    T.StructField("err_rate", T.DoubleType()),
+    T.StructField("consec_err", T.IntegerType()),
+    T.StructField("tokens", T.IntegerType()),
+])
+
+
+def adaptive_rate_stream(fetch_events: DataFrame, pol=None,
+                         crawl_delay_s: float = 0.0,
+                         state_timeout_ms: int = 0) -> DataFrame:
+    """Streaming AdaptiveRateLimiter: the reference's rate-limiter recurrence
+    (ratelimiter.go:363-426; round-wise rendering in
+    frontier/politeness.py) as a CUSTOM STATEFUL STREAMING OPERATOR over a
+    fetch-event stream (domain string, ok boolean, ...).
+
+    Per micro-batch and per domain: err_rate = errors/attempts over the
+    batch; consecutive-bad-batch count carries in GroupState
+    (applyInPandasWithState — checkpointed, so a restarted query resumes
+    its penalty state exactly); the emitted `tokens` is the next batch's
+    budget via the SAME tokens_per_round recurrence the batch scheduler
+    and the sequential oracle use.
+
+    Output mode must be "update". State size: one (int, int) per domain —
+    bounded by domain count, evictable via `state_timeout_ms` for domains
+    that go quiet (ProcessingTimeTimeout).
+    """
+    from ..frontier.politeness import (
+        PolitenessConfig,
+        next_consec_errors_py,
+        tokens_per_round_py,
+    )
+
+    pol = pol or PolitenessConfig()
+    timeout = "ProcessingTimeTimeout" if state_timeout_ms else "NoTimeout"
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        consec, seen = state.get if state.exists else (0, 0)
+        attempts = errors = 0
+        for pdf in pdfs:
+            attempts += len(pdf)
+            errors += int((~pdf["ok"].astype(bool)).sum())
+        if attempts == 0:
+            return
+        err_rate = errors / attempts
+        consec = next_consec_errors_py(err_rate, consec, pol)
+        tokens = tokens_per_round_py(crawl_delay_s, err_rate, consec, pol)
+        seen += 1
+        state.update((consec, seen))
+        if state_timeout_ms:
+            state.setTimeoutDuration(state_timeout_ms)
+        yield pd.DataFrame([{
+            "domain": key[0], "batch_no": seen,
+            "attempts": attempts, "errors": errors,
+            "err_rate": round(err_rate, 6),
+            "consec_err": consec, "tokens": tokens,
+        }])
+
+    return (
+        fetch_events.groupBy("domain")
+        .applyInPandasWithState(
+            update, RATE_OUT_SCHEMA, RATE_STATE_SCHEMA, "update", timeout)
+    )

@@ -11,7 +11,7 @@ set" gate from BASELINE.json.
 
 from __future__ import annotations
 
-import math
+
 from dataclasses import dataclass, field
 
 from datascrapexter_spark.frontier.links import extract_links_py
@@ -105,23 +105,11 @@ class CrawlSimulator:
     # -- budget recurrence, identical to politeness.tokens_per_round ------
 
     def _tokens(self, domain: str) -> int:
-        pol: PolitenessConfig = self.cfg.politeness
-        delay = self._domain_delay(domain)
-        eff_delay = min(delay, pol.max_crawl_delay_s)
-        if eff_delay > 0.0:
-            eff_rps = min(pol.requests_per_second, 1.0 / eff_delay)
-        else:
-            eff_rps = pol.requests_per_second
+        from datascrapexter_spark.frontier.politeness import tokens_per_round_py
+
         err_rate, consec = self.domain_state.get(domain, (0.0, 0))
-        if err_rate > pol.error_rate_threshold:
-            slowdown = min(1.0 + err_rate * pol.error_rate_multiplier,
-                           pol.max_slowdown)
-        else:
-            slowdown = 1.0
-        penalty = min(1.0 + 0.5 * consec, pol.max_penalty)
-        total = min(slowdown * penalty, pol.max_penalty)
-        raw = math.floor(pol.round_seconds * eff_rps / total)
-        return max(1, min(raw, pol.max_pages_per_round_per_domain))
+        return tokens_per_round_py(self._domain_delay(domain), err_rate,
+                                   consec, self.cfg.politeness)
 
     def _domain_delay(self, domain: str) -> float:
         delay = 0.0

@@ -107,3 +107,62 @@ def test_streaming_windowed_counts(spark, tmp_path):
     assert got[("2024-01-01 11:00:00", "click")] == (1, 5.0)
     # the 23:00 window is NOT finalized yet (>= watermark) -> absent in append
     assert ("2024-01-01 23:00:00", "view") not in got
+
+
+def test_streaming_adaptive_rate_state(spark, tmp_path):
+    """Custom stateful streaming operator (applyInPandasWithState): the
+    AdaptiveRateLimiter recurrence carries per-domain state across
+    micro-batches AND across query restarts (checkpointed GroupState).
+
+    Batch 1: d1 all-errors (err 1.0 -> consec 1), d2 clean (consec 0).
+    Batch 2 (separate drain, same checkpoint): d1 all-errors again ->
+    consec must come back as 2 — only possible if state was restored."""
+    import os
+
+    from datascrapexter_spark.frontier.politeness import (
+        PolitenessConfig,
+        tokens_per_round_py,
+    )
+    from datascrapexter_spark.streaming.events import adaptive_rate_stream
+
+    src = str(tmp_path / "fetch_events")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    schema = "domain string, ok boolean"
+    pol = PolitenessConfig(requests_per_second=2.0, round_seconds=5.0,
+                           max_pages_per_round_per_domain=10)
+
+    def drain(name):
+        # foreachBatch sink: supports checkpoint RECOVERY (the memory sink
+        # does not), which is exactly what batch 2 exercises
+        rows = []
+
+        def sink(batch_df, _batch_id):
+            rows.extend(batch_df.collect())
+
+        stream = (spark.readStream.schema(schema).parquet(src))
+        out = adaptive_rate_stream(stream, pol)
+        q = (out.writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {r["domain"]: r for r in rows}
+
+    spark.createDataFrame(
+        [("d1", False)] * 4 + [("d2", True)] * 3, schema
+    ).write.mode("append").parquet(src)
+    got1 = drain("rate_b1")
+    assert got1["d1"]["err_rate"] == 1.0 and got1["d1"]["consec_err"] == 1
+    assert got1["d1"]["tokens"] == tokens_per_round_py(0.0, 1.0, 1, pol)
+    assert got1["d2"]["consec_err"] == 0
+    assert got1["d2"]["tokens"] == tokens_per_round_py(0.0, 0.0, 0, pol)
+
+    spark.createDataFrame(
+        [("d1", False)] * 2 + [("d2", False)] * 1, schema
+    ).write.mode("append").parquet(src)
+    got2 = drain("rate_b2")
+    # d1's consecutive-error count RESUMED from checkpointed state
+    assert got2["d1"]["consec_err"] == 2 and got2["d1"]["batch_no"] == 2
+    assert got2["d1"]["tokens"] == tokens_per_round_py(0.0, 1.0, 2, pol)
+    assert got2["d2"]["consec_err"] == 1
