@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SUPPORTED_FORMATS = ("json", "jsonl", "csv", "parquet", "stdout", "yaml",
-                     "xml", "sqlite", "jdbc", "postgresql")
+                     "xml", "sqlite", "jdbc", "postgresql", "excel", "xlsx")
 
 
 def write_output(
@@ -77,6 +77,13 @@ def write_output(
         write_sqlite(df, path, table=opts.get("table", "scraped_data"),
                      batch_size=int(opts.get("batch_size", 1000)),
                      on_conflict=opts.get("on_conflict", "ignore"))
+        return
+    if fmt in ("excel", "xlsx"):
+        from .excelsink import write_excel
+
+        write_excel(df, path,
+                    sheet_name=opts.get("sheet_name", "Sheet1"),
+                    include_headers=bool(opts.get("include_headers", True)))
         return
     if fmt == "xml":
         from .xmlsink import write_xml

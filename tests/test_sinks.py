@@ -65,7 +65,7 @@ def test_json_array_byte_parity(spark, df):
 
 def test_unknown_format_rejected(spark, df, tmp_path):
     with pytest.raises(ValueError):
-        write_output(df, "excel", str(tmp_path / "x"))
+        write_output(df, "avro-carrier-pigeon", str(tmp_path / "x"))
     with pytest.raises(ValueError):
         write_output(df, "json", None)
 
@@ -224,3 +224,53 @@ def test_xml_name_sanitization_and_fragments(spark):
     frags = xml_fragments_df(df).collect()
     assert len(frags) == 5
     assert all(f["fragment"].lstrip().startswith("<record>") for f in frags)
+
+
+# ---------------------------------------------------------------------------
+# Excel sink (stdlib OOXML; excel.go parity surface)
+# ---------------------------------------------------------------------------
+
+
+def test_excel_sink_roundtrip(spark, tmp_path):
+    """The produced .xlsx must be a valid OOXML package whose sheet XML
+    carries header + typed cells (verified by unzip + XML parse — no excel
+    library exists in this sandbox)."""
+    import zipfile
+    import xml.etree.ElementTree as ET
+
+    rows = [(1, "a <x>", 1.5, True, ["t1"]), (2, "b", 2.0, False, [])]
+    df = spark.createDataFrame(
+        rows, "id long, name string, score double, ok boolean, "
+              "tags array<string>")
+    path = str(tmp_path / "out.xlsx")
+    write_output(df, "excel", path, options={"sheet_name": "Data"})
+
+    with zipfile.ZipFile(path) as z:
+        names = set(z.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml",
+                "xl/worksheets/sheet1.xml"} <= names
+        wb = z.read("xl/workbook.xml").decode()
+        assert 'name="Data"' in wb
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    root = ET.fromstring(sheet)
+    xrows = root.findall(".//m:row", ns)
+    assert len(xrows) == 3  # header + 2 data rows
+    header = [t.text for t in xrows[0].findall(".//m:t", ns)]
+    assert header == ["id", "name", "score", "ok", "tags"]
+    # row for id=1: numeric cells, boolean cell, escaped inline string
+    r1 = {c.get("r"): c for c in xrows[1].findall("m:c", ns)}
+    assert r1["A2"].find("m:v", ns).text == "1"
+    assert r1["B2"].find(".//m:t", ns).text == "a <x>"
+    assert r1["C2"].find("m:v", ns).text == "1.5"
+    assert r1["D2"].get("t") == "b" and r1["D2"].find("m:v", ns).text == "1"
+    assert r1["E2"].find(".//m:t", ns).text == '["t1"]'
+    assert "&lt;x&gt;" in sheet  # escaped inline string
+
+
+def test_excel_col_letters():
+    from datascrapexter_spark.sources.excelsink import col_letter
+
+    assert [col_letter(i) for i in (0, 1, 25, 26, 27, 701, 702)] == \
+        ["A", "B", "Z", "AA", "AB", "ZZ", "AAA"]
