@@ -313,6 +313,13 @@ def main() -> None:
     spark = _session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # steady-state warm-up (untimed): JVM JIT + parquet footer reads +
+    # Python worker spawn otherwise all land in whichever query runs first
+    # (round 1 charged ~5s of cold-start to q01)
+    for t in ("lineitem", "documents", "embeddings", "events"):
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    _force(QUERIES["q01_pricing_summary"](spark, sf_dir))
+
     qtimes: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.monotonic()

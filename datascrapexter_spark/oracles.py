@@ -570,6 +570,17 @@ s AS (
 SELECT id_a, id_b, round(cos, 6)::DOUBLE AS cos FROM s WHERE cos >= 0.99
 """,
     "q23_embedding_neardup_lsh": _embedding_neardup_lsh_sql(64, 0.99, 8, 2),
+    "q28_field_types_extended": """
+SELECT doc_id,
+       (doc_id % 2 = 0) AS in_stock,
+       '2024-03-' || lpad((doc_id % 27 + 1)::VARCHAR, 2, '0') AS listed_on,
+       'https://shop' || (doc_id % 5) || '.example.com/cat/item/' || doc_id
+         AS more_url,
+       'user' || doc_id || '@mail' || (doc_id % 7) || '.example.org'
+         AS contact_email,
+       '055123' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS contact_phone
+FROM documents
+""",
     "q26_ann_ivf": _ivf_sql(5, 10, 16, 4),
     "q27_repetition_stats": _REPETITION_SQL,
     "q25_gdpr_flags": """

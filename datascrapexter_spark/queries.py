@@ -412,6 +412,41 @@ def q27_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q28_field_types_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction field types beyond q12 — boolean truthy/falsy tables,
+    date layout cascade via the datetime attr, <base href> URL resolution,
+    email regex, local-phone regex + digit cleaning (extractor.go:339-630
+    semantics), each oracle-checkable from the generating columns."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    day = F.lpad((d % 27 + 1).cast("string"), 2, "0")
+    phone4 = F.lpad((d % 10000).cast("string"), 4, "0")
+    html = F.concat(
+        F.lit('<html><head><base href="https://shop'),
+        (d % 5).cast("string"),
+        F.lit('.example.com/cat/"></head><body><span class="stock">'),
+        F.when(d % 2 == 0, F.lit("Available")).otherwise(F.lit("Out of Stock")),
+        F.lit('</span><time class="when" datetime="2024-03-'), day,
+        F.lit('">last month</time><a class="more" href="item/'),
+        d.cast("string"),
+        F.lit('">more</a><span class="mail">reach us: user'),
+        d.cast("string"), F.lit("@mail"), (d % 7).cast("string"),
+        F.lit('.example.org ok</span><a class="tel" href="tel:055-123-'),
+        phone4, F.lit('">call</a></body></html>'),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    fields = [
+        FieldConfig(name="in_stock", selector=".stock", type="boolean"),
+        FieldConfig(name="listed_on", selector="time.when", type="date"),
+        FieldConfig(name="more_url", selector="a.more", type="url"),
+        FieldConfig(name="contact_email", selector=".mail", type="email"),
+        FieldConfig(name="contact_phone", selector="a.tel", type="phone"),
+    ]
+    out = extract_fields_df(pages, fields)
+    return out.select("doc_id", "in_stock", "listed_on", "more_url",
+                      "contact_email", "contact_phone")
+
+
 def q25_gdpr_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDPR TLD compliance gate (compliance_test.go:280-288) as a codegen
     column over synthesized multi-TLD domains: per-TLD counts of domains
@@ -604,5 +639,6 @@ QUERIES = {
     "q25_gdpr_flags": q25_gdpr_flags,
     "q26_ann_ivf": q26_ann_ivf,
     "q27_repetition_stats": q27_repetition_stats,
+    "q28_field_types_extended": q28_field_types_extended,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
