@@ -134,42 +134,52 @@ def ngram_jaccard_pairs(
     minhash_lsh_pairs: recall < 1, precision 1).
     """
     ex = _exploded_shingles(df, id_col, text_col, n)
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     if max_shingle_doc_freq is None:
         a = ex.select(F.col(id_col).alias("id_a"), "shingle")
         b = ex.select(F.col(id_col).alias("id_b"), "shingle")
-        common = (
+        common_pairs = (
             a.join(b, "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("common"))
         )
-    else:
-        capped = _cap_doc_freq(ex, id_col, max_shingle_doc_freq)
-        ca = capped.select(F.col(id_col).alias("id_a"), "shingle")
-        cb = capped.select(F.col(id_col).alias("id_b"), "shingle")
-        cand = (
-            ca.join(cb, "shingle")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct()
+        sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+        sz_a = sizes.select(F.col(id_col).alias("id_a"),
+                            F.col("n_sh").alias("n_a"))
+        sz_b = sizes.select(F.col(id_col).alias("id_b"),
+                            F.col("n_sh").alias("n_b"))
+        jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+        return (
+            common_pairs.join(sz_a, "id_a")
+            .join(sz_b, "id_b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
         )
-        # exact overlap over the UNCAPPED shingles, candidates only
-        ex_a = ex.select(F.col(id_col).alias("id_a"), "shingle")
-        ex_b = ex.select(F.col(id_col).alias("id_b"), "shingle")
-        common = (
-            cand.join(ex_a, "id_a")
-            .join(ex_b, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("common"))
-        )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+
+    # capped: candidates from the doc-freq-capped join, exact UNCAPPED
+    # verification via per-doc shingle arrays + array_intersect (only
+    # candidate docs' arrays shuffle)
+    capped = _cap_doc_freq(ex, id_col, max_shingle_doc_freq)
+    ca = capped.select(F.col(id_col).alias("id_a"), "shingle")
+    cb = capped.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        ca.join(cb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    doc_sh = df.select(
+        F.col(id_col), F.array_distinct(shingles_col(text_col, n)).alias("sh")
+    )
+    sh_a = doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common / (F.size("sh_a") + F.size("sh_b") - common)
     return (
-        common.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -258,23 +268,23 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # exact verification of candidates only
-    ex = _exploded_shingles(df, id_col, text_col, n)
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    ex_a = ex.select(F.col(id_col).alias("id_a"), "shingle")
-    ex_b = ex.select(F.col(id_col).alias("id_b"), "shingle")
-    common = (
-        cand.join(ex_a, "id_a")
-        .join(ex_b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
+    # exact verification of candidates only — per-doc distinct-shingle
+    # ARRAYS joined to the candidate pairs, overlap via array_intersect
+    # (hash-set intersection, codegen). This replaces the shingle-exploded
+    # two-join + groupBy shape: only candidate docs' arrays shuffle, and
+    # the corpus text is scanned twice total (signatures + verification)
+    # instead of four times.
+    doc_sh = df.select(
+        F.col(id_col),
+        F.array_distinct(shingles_col(text_col, n)).alias("sh"),
     )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    sh_a = doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common / (F.size("sh_a") + F.size("sh_b") - common)
     return (
-        common.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
