@@ -48,6 +48,12 @@ class PolitenessConfig:
     # deterministic round-wise rendering of `adaptive`; the full 4-strategy
     # family lives in strategy_tokens_per_round.
     strategy: str = "adaptive"
+    # False (default): budgets use the pinned tokens_per_round recurrence.
+    # True: budgets come from the full 4-strategy family via
+    # strategy_tokens_from_state over the checkpointed interval multiplier
+    # (domain_state.rate_mult) — the end-to-end rendering of
+    # ratelimiter.go's WaitN dispatch.
+    use_strategy_budgets: bool = False
     consec_err_limit: int = 5            # consecutiveErrLimit default
     min_change_threshold: float = 0.10   # minChangeThreshold (:404-409)
     burst_increase_threshold: float = 0.05   # :32
@@ -190,6 +196,95 @@ def strategy_tokens_per_round(delay_col, err_rate_col, consec_col,
         F.lit(1),
         F.least(raw, F.lit(int(cfg.max_pages_per_round_per_domain))),
     ).cast("int")
+
+
+def strategy_tokens_from_state(delay_col, err_rate_col, mult_col,
+                               cfg: PolitenessConfig):
+    """Per-round budget from CHECKPOINTED state: `mult_col` is the already
+    min-change-gated interval multiplier stored at the end of the previous
+    round (see CrawlEngine domain_state), so no re-gating happens here —
+    the engine stores mult_r and spends it in round r+1.
+
+      fixed     base rate only
+      adaptive  base / mult
+      burst     base + burst(err)
+      hybrid    base / mult + burst(err)
+    """
+    eff_delay = F.least(F.coalesce(delay_col, F.lit(0.0)),
+                        F.lit(float(cfg.max_crawl_delay_s)))
+    eff_rps = F.when(
+        eff_delay > 0.0,
+        F.least(F.lit(float(cfg.requests_per_second)), F.lit(1.0) / eff_delay),
+    ).otherwise(F.lit(float(cfg.requests_per_second)))
+    base = F.lit(float(cfg.round_seconds)) * eff_rps
+    mult = F.coalesce(mult_col, F.lit(1.0))
+    burst = burst_size(err_rate_col, cfg)
+    if cfg.strategy == "fixed":
+        raw = F.floor(base)
+    elif cfg.strategy == "adaptive":
+        raw = F.floor(base / mult)
+    elif cfg.strategy == "burst":
+        raw = F.floor(base) + burst
+    elif cfg.strategy == "hybrid":
+        raw = F.floor(base / mult) + burst
+    else:
+        raise ValueError(f"unknown rate-limit strategy: {cfg.strategy}")
+    return F.greatest(
+        F.lit(1),
+        F.least(raw, F.lit(int(cfg.max_pages_per_round_per_domain))),
+    ).cast("int")
+
+
+def interval_multiplier_py(err_rate: float | None, consec: int | None,
+                           prev_mult: float | None,
+                           cfg: PolitenessConfig) -> float:
+    """Python twin of `interval_multiplier` (shared by the oracle sim)."""
+    err = err_rate or 0.0
+    consec = float(consec or 0)
+    prev = prev_mult if prev_mult is not None else 1.0
+    mult = 1.0 + err * cfg.error_rate_multiplier \
+        if err > cfg.error_rate_threshold else 1.0
+    if consec > cfg.consec_err_limit:
+        mult *= min(consec / cfg.consec_err_limit,
+                    cfg.max_consecutive_multiplier)
+    change = abs(mult - prev) / prev
+    return mult if change >= cfg.min_change_threshold else prev
+
+
+def burst_size_py(err_rate: float | None, cfg: PolitenessConfig) -> int:
+    import math
+
+    err = err_rate or 0.0
+    base = float(cfg.burst)
+    if err < cfg.burst_increase_threshold:
+        return int(math.floor(base * cfg.burst_increase_multiplier))
+    if err > cfg.burst_decrease_threshold:
+        return max(int(math.floor(base * cfg.burst_decrease_multiplier)), 1)
+    return int(cfg.burst)
+
+
+def strategy_tokens_from_state_py(delay_s: float, err_rate: float | None,
+                                  mult: float | None,
+                                  cfg: PolitenessConfig) -> int:
+    import math
+
+    eff_delay = min(delay_s, cfg.max_crawl_delay_s)
+    eff_rps = min(cfg.requests_per_second, 1.0 / eff_delay) \
+        if eff_delay > 0.0 else cfg.requests_per_second
+    base = cfg.round_seconds * eff_rps
+    m = mult if mult is not None else 1.0
+    burst = burst_size_py(err_rate, cfg)
+    if cfg.strategy == "fixed":
+        raw = math.floor(base)
+    elif cfg.strategy == "adaptive":
+        raw = math.floor(base / m)
+    elif cfg.strategy == "burst":
+        raw = math.floor(base) + burst
+    elif cfg.strategy == "hybrid":
+        raw = math.floor(base / m) + burst
+    else:
+        raise ValueError(f"unknown rate-limit strategy: {cfg.strategy}")
+    return max(1, min(raw, cfg.max_pages_per_round_per_domain))
 
 
 def next_consec_errors(err_rate_col, consec_col, cfg: PolitenessConfig):

@@ -49,8 +49,10 @@ from .links import extract_links_df
 from .pagination import PaginationSpec, extract_next_urls_df
 from .politeness import (
     PolitenessConfig,
+    interval_multiplier,
     next_consec_errors,
     schedule_topk,
+    strategy_tokens_from_state,
     tokens_per_round,
 )
 from .robots import RobotsIndex, allowed_rules_col, rules_array_df
@@ -212,7 +214,8 @@ class CrawlEngine:
         )
         empty_state = self.spark.createDataFrame(
             [], "domain string, err_rate double, consec_err int, "
-                "breaker_failures int, quarantined_until int")
+                "breaker_failures int, quarantined_until int, "
+                "rate_mult double")
         sids["domain_state"] = self.store["domain_state"].overwrite(empty_state)
         sids["pagination_state"] = self.store["pagination_state"].overwrite(
             self.spark.createDataFrame([], "host string, last_cursor string"))
@@ -313,6 +316,8 @@ class CrawlEngine:
             prev_state = (
                 prev_state.withColumn("breaker_failures", F.lit(0))
                 .withColumn("quarantined_until", F.lit(None).cast("int")))
+        if "rate_mult" not in prev_state.columns:  # pre-strategy state
+            prev_state = prev_state.withColumn("rate_mult", F.lit(1.0))
 
         # --- circuit breaker gate: open domains are skipped entirely ---
         if cfg.quarantine_max_failures > 0:
@@ -323,17 +328,20 @@ class CrawlEngine:
                 F.broadcast(quarantined), "domain", "left_anti")
 
         domains = eligible.select("domain").distinct()
+        if pol.use_strategy_budgets:
+            tokens = strategy_tokens_from_state(
+                F.coalesce(F.col("crawl_delay_s"), F.lit(0.0)),
+                F.col("err_rate"), F.col("rate_mult"), pol)
+        else:
+            tokens = tokens_per_round(
+                F.coalesce(F.col("crawl_delay_s"), F.lit(0.0)),
+                F.col("err_rate"), F.col("consec_err"), pol)
         budgets = (
             domains.join(F.broadcast(delays), "domain", "left")
             .join(F.broadcast(prev_state.select(
-                "domain", "err_rate", "consec_err")), "domain", "left")
-            .select(
-                "domain",
-                tokens_per_round(
-                    F.coalesce(F.col("crawl_delay_s"), F.lit(0.0)),
-                    F.col("err_rate"), F.col("consec_err"), pol,
-                ).alias("tokens"),
-            )
+                "domain", "err_rate", "consec_err", "rate_mult")),
+                "domain", "left")
+            .select("domain", tokens.alias("tokens"))
         )
         if cfg.quarantine_max_failures > 0:
             # half-open: first round after expiry probes with budget 1
@@ -480,6 +488,7 @@ class CrawlEngine:
             F.col("consec_err").alias("p_consec"),
             F.col("breaker_failures").alias("p_breaker"),
             F.col("quarantined_until").alias("p_quar"),
+            F.col("rate_mult").alias("p_mult"),
         )
         merged = round_err.join(prev_s, "domain", "full")
         attempted = F.col("att").isNotNull()
@@ -504,6 +513,15 @@ class CrawlEngine:
             ).cast("int")
         else:
             new_quar = F.lit(None).cast("int")
+        # interval multiplier for the strategy family: min-change-gated
+        # recurrence from this round's stats (updateAdaptiveRate,
+        # ratelimiter.go:363-409 evaluated round-wise; consumed next round
+        # by strategy_tokens_from_state)
+        new_mult = F.when(
+            attempted,
+            interval_multiplier(F.col("r_err_rate"), new_consec,
+                                F.col("p_mult"), pol),
+        ).otherwise(F.coalesce("p_mult", F.lit(1.0)))
         new_domain_state = merged.select(
             "domain",
             F.when(attempted, F.col("r_err_rate"))
@@ -511,6 +529,7 @@ class CrawlEngine:
             new_consec.cast("int").alias("consec_err"),
             new_breaker.alias("breaker_failures"),
             new_quar.alias("quarantined_until"),
+            new_mult.cast("double").alias("rate_mult"),
         )
 
         # --- checkpoint + round commit ---

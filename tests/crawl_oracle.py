@@ -56,6 +56,7 @@ class CrawlSimulator:
     pag_state: dict[str, str] = field(default_factory=dict)  # host -> cursor
     breaker: dict[str, int] = field(default_factory=dict)    # domain -> fails
     quarantined_until: dict[str, int] = field(default_factory=dict)
+    rate_mult: dict[str, float] = field(default_factory=dict)  # strategy mult
 
     @classmethod
     def from_raw(cls, pages_rows, robots_texts, cfg: CrawlConfig):
@@ -105,11 +106,20 @@ class CrawlSimulator:
     # -- budget recurrence, identical to politeness.tokens_per_round ------
 
     def _tokens(self, domain: str) -> int:
-        from datascrapexter_spark.frontier.politeness import tokens_per_round_py
+        from datascrapexter_spark.frontier.politeness import (
+            strategy_tokens_from_state_py,
+            tokens_per_round_py,
+        )
 
         err_rate, consec = self.domain_state.get(domain, (0.0, 0))
+        pol = self.cfg.politeness
+        if pol.use_strategy_budgets:
+            return strategy_tokens_from_state_py(
+                self._domain_delay(domain),
+                err_rate if domain in self.domain_state else None,
+                self.rate_mult.get(domain), pol)
         return tokens_per_round_py(self._domain_delay(domain), err_rate,
-                                   consec, self.cfg.politeness)
+                                   consec, pol)
 
     def _domain_delay(self, domain: str) -> float:
         delay = 0.0
@@ -218,6 +228,13 @@ class CrawlSimulator:
             consec = prev_consec + 1 \
                 if err_rate > cfg.politeness.error_rate_threshold else 0
             self.domain_state[domain] = (err_rate, consec)
+            from datascrapexter_spark.frontier.politeness import (
+                interval_multiplier_py,
+            )
+
+            self.rate_mult[domain] = interval_multiplier_py(
+                err_rate, consec, self.rate_mult.get(domain),
+                cfg.politeness)
             # any success resets the failure count (recordSuccess)
             if errs < att:
                 self.breaker[domain] = 0

@@ -378,3 +378,46 @@ def test_compliance_report_and_gdpr_twin():
     assert rep.gdpr_required and rep.risk_level == "low"
     rep2 = generate_report(robots, "example.com", "*", "/private/x")
     assert not rep2.robots_compliant and rep2.risk_level == "high"
+
+
+def test_strategy_budgets_end_to_end(spark, tmp_path):
+    """use_strategy_budgets=True drives round budgets through the full
+    4-strategy family (strategy_tokens_from_state over the checkpointed
+    interval multiplier) — bit-exact vs the oracle simulator, and the
+    hybrid strategy visibly shrinks a failing domain's budget."""
+    # bad.exa.com: many missing URLs -> err_rate 1.0 across rounds
+    # good.exb.com: a link chain of real pages (distinct registered domains)
+    rows = []
+    for i in range(8):
+        nxt = f'<a href="/p/{i + 1}">n</a>' if i < 7 else ""
+        rows.append((f"https://good.exb.com/p/{i}", None,
+                     f"<html><body><h1>{i}</h1>{nxt}</body></html>".encode(),
+                     "", "en"))
+    seeds = [(f"https://bad.exa.com/m/{i}", 5) for i in range(12)] + \
+            [("https://good.exb.com/p/0", 5)]
+    web = (rows, seeds, {})
+    pol = PolitenessConfig(
+        requests_per_second=2.0, round_seconds=2.0,
+        max_pages_per_round_per_domain=6, n_salts=4,
+        strategy="hybrid", use_strategy_budgets=True, burst=2,
+        consec_err_limit=1,
+    )
+    cfg = CrawlConfig(politeness=pol, max_attempts=10, max_rounds=5)
+    engine, stats = run_spark_crawl(spark, tmp_path, web, cfg)
+
+    sim = CrawlSimulator.from_raw(web[0], web[2], cfg)
+    sim_stats = sim.run(web[1])
+    assert spark_log(engine) == sim.sorted_log()
+    for s_spark, s_sim in zip(stats, sim_stats):
+        for k in ("round", "scheduled", "fetched", "new_urls", "pending"):
+            assert s_spark[k] == s_sim[k], (k, s_spark, s_sim)
+
+    # exa.com budget shrinks over rounds (multiplier grows, burst
+    # collapses); exb.com keeps the grown-burst budget
+    from collections import Counter
+
+    per_round = Counter((r[0], r[1]) for r in spark_log(engine))
+    bad = [per_round.get((r, "exa.com"), 0) for r in (1, 2, 3)]
+    good = [per_round.get((r, "exb.com"), 0) for r in (1, 2, 3)]
+    assert bad[0] > bad[2] >= 1, bad       # adaptive shrink kicked in
+    assert all(g >= 1 for g in good[:2])
