@@ -98,10 +98,18 @@ def normalize_url(raw_url: str) -> str:
     """Exact port of NormalizeURL (utils.go:256-288)."""
     if raw_url is None:
         return None
+    return _normalize_split(raw_url)[0]
+
+
+def _normalize_split(raw_url: str) -> tuple[str, str | None]:
+    """(canonical url, final lowercased netloc) with ONE urlsplit; netloc is
+    None exactly when parsing failed (raw passthrough, NormalizeURL's
+    error branch) — the fused fast path canonicalize_parts builds host/
+    domain from the returned netloc instead of re-parsing the canon."""
     try:
         u = urlsplit(raw_url)
     except ValueError:
-        return raw_url
+        return raw_url, None
 
     scheme = u.scheme.lower()
     # netloc: lowercase host; Go lowercases the whole Host (incl. port text)
@@ -133,7 +141,7 @@ def normalize_url(raw_url: str) -> str:
     out += path if _PATH_IDENTITY_RE.match(path) else quote(path, safe=_PATH_SAFE)
     if query:
         out += "?" + query
-    return out
+    return out, netloc
 
 
 def extract_domain(raw_url: str) -> str:
@@ -246,13 +254,12 @@ def _hostname_from_netloc(netloc: str) -> str:
 def canonicalize_parts(raw_url: str) -> tuple[str, str, str]:
     """(url_canon, host, registered_domain) with ONE parse — the fused
     frontier fast path (identical results to normalize_url + extract_domain
-    + registered_domain composed; asserted by tests)."""
-    canon = normalize_url(raw_url)
-    if canon is None:
+    + registered_domain composed; asserted by tests). The netloc comes
+    straight from _normalize_split, so each URL is urlsplit exactly once."""
+    if raw_url is None:
         return None, None, None
-    try:
-        netloc = urlsplit(canon).netloc.lower()
-    except ValueError:
+    canon, netloc = _normalize_split(raw_url)
+    if netloc is None:  # parse failure: NormalizeURL passthrough branch
         return canon, "", ""
     host = _hostname_from_netloc(netloc)
     return canon, host, registered_domain(host)
