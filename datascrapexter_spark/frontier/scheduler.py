@@ -25,6 +25,26 @@ and Bloom probe):
 Identity for dedup is xxhash64(url_canon) per north_rule; the sequential
 oracle simulator (tests/crawl_oracle.py) reproduces every step bit-for-bit,
 which is how crawl order + seen set are verified.
+
+Frontier state is INCREMENTAL — per-round I/O is O(this round's work),
+never O(total frontier) (the reference's page loop touches only the active
+page, engine.go:720-792; at 10^10 URLs a full-frontier rewrite per round
+would dominate every other cost):
+
+  * `frontier`         append-only base; every row is written with
+                       state='pending' (seeds at init, new URLs per round);
+  * `frontier_updates` append-only state-transition deltas
+                       (url_hash, state, attempts, round); readers keep
+                       the latest delta per url_hash (max round wins);
+  * `frontier_archive` terminal rows (done/failed/blocked*), appended once
+                       at transition time and never touched again.
+
+Reading the pending set = base ⟕ latest-deltas (the deltas span at most
+`frontier_compact_every` rounds of scheduled work — a key-width join far
+below frontier size; AQE broadcasts it when small), filtered to 'pending'.
+Every `frontier_compact_every` rounds the reconciled pending set is folded
+back into the base and the deltas truncate, bounding reconcile depth. The
+full frontier (fixtures, resume) = reconciled-pending ∪ archive.
 """
 
 from __future__ import annotations
@@ -67,6 +87,13 @@ FRONTIER_SCHEMA = T.StructType([
     T.StructField("attempts", T.IntegerType()),
     T.StructField("round_added", T.IntegerType()),
     T.StructField("state", T.StringType()),
+])
+
+FRONTIER_UPDATES_SCHEMA = T.StructType([
+    T.StructField("url_hash", T.LongType()),
+    T.StructField("state", T.StringType()),
+    T.StructField("attempts", T.IntegerType()),
+    T.StructField("round", T.IntegerType()),
 ])
 
 CRAWL_LOG_SCHEMA = T.StructType([
@@ -122,6 +149,10 @@ class CrawlConfig:
     # GDPR TLD gate (compliance.py): "off" (reference's checker is
     # unwired) or "block" — EU-TLD domains get state 'blocked_gdpr'
     gdpr_mode: str = "off"
+    # fold frontier_updates deltas back into the frontier base every K
+    # rounds (caps reconcile-join depth at K rounds of scheduled work;
+    # compaction itself costs O(pending), amortized over K rounds)
+    frontier_compact_every: int = 8
 
 
 class CrawlEngine:
@@ -147,18 +178,50 @@ class CrawlEngine:
     # preparation
     # ------------------------------------------------------------------
 
+    # above this many duplicated url_canon keys the dup-key set stops
+    # being broadcastable and pages prep falls back to the full window
+    # (degenerate corpus: most URLs re-fetched; bucket the pages table by
+    # url_canon at ingest instead)
+    PAGES_DUP_BROADCAST_MAX = 4_000_000
+
     def _prepare_pages(self, pages: DataFrame) -> DataFrame:
         """Canonicalize the pages table once; keep first row per url_canon
-        (earliest warc_ts — WARC convention for re-fetches)."""
+        (earliest warc_ts — WARC convention for re-fetches) WITHOUT
+        shuffling the fat html column.
+
+        A window over the whole table would push every page body through
+        one exchange at startup — at 100 TB that shuffle dominates the
+        crawl. Re-fetches are the exception, so: find duplicated keys with
+        a key-width groupBy (html pruned from that scan), broadcast them,
+        and run the keep-first window ONLY over the duplicated rows; the
+        unique majority passes through shuffle-free via a broadcast
+        anti-join. Plan extract in PLANS.md: no `html` in any Exchange."""
         canon = pages.withColumn("url_canon", normalize_url_udf("url"))
-        order_cols = [F.col("warc_ts").asc()] if "warc_ts" in pages.columns else []
+        has_ts = "warc_ts" in pages.columns
+        dup_keys = (
+            canon.groupBy("url_canon").count()
+            .filter(F.col("count") > 1).select("url_canon")
+        )
+        n_dup = dup_keys.count()  # keys only — html never read here
+        if n_dup == 0:
+            return canon.select("url_canon", "html")
+        order_cols = [F.col("warc_ts").asc()] if has_ts else []
         order_cols.append(F.col("url").asc())
         w = Window.partitionBy("url_canon").orderBy(*order_cols)
-        return (
-            canon.withColumn("_rn", F.row_number().over(w))
+        if n_dup > self.PAGES_DUP_BROADCAST_MAX:
+            return (
+                canon.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("url_canon", "html")
+            )
+        uniq = canon.join(F.broadcast(dup_keys), "url_canon", "left_anti")
+        dups = canon.join(F.broadcast(dup_keys), "url_canon", "left_semi")
+        dedup = (
+            dups.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select("url_canon", "html")
         )
+        return (uniq.select("url_canon", "html")
+                .unionByName(dedup.select("url_canon", "html")))
 
     def _frontier_rows(self, urls: DataFrame, priority_col, round_no: int) -> DataFrame:
         """url column -> full frontier-schema rows (one fused Arrow pass for
@@ -207,6 +270,10 @@ class CrawlEngine:
 
         sids = {}
         sids["frontier"] = self.store["frontier"].overwrite(frontier)
+        sids["frontier_updates"] = self.store["frontier_updates"].overwrite(
+            self.spark.createDataFrame([], FRONTIER_UPDATES_SCHEMA))
+        sids["frontier_archive"] = self.store["frontier_archive"].overwrite(
+            self.spark.createDataFrame([], FRONTIER_SCHEMA))
         seen = frontier.select("url_hash")
         sids["url_seen"] = self.store["url_seen"].overwrite(seen)
         sids["bloom_shards"] = self.store["bloom_shards"].overwrite(
@@ -225,6 +292,9 @@ class CrawlEngine:
             self.spark.createDataFrame(
                 [], "round int, partition_id int, scheduled long, fetched long, "
                     "errors long"))
+        sids["request_metrics"] = self.store["request_metrics"].overwrite(
+            self.spark.createDataFrame(
+                [], "round int, host string, status string, n long"))
         self.store.commit_round(0, sids)
         self._snapshot_ids = sids
 
@@ -237,14 +307,62 @@ class CrawlEngine:
             raise RuntimeError("no committed rounds to resume from")
         self._snapshot_ids = last["snapshots"]
         if self.cfg.restrict_to_seed_hosts and self.allowed_hosts is None:
-            frontier = self._read("frontier")
-            seed_hosts = (frontier.filter(F.col("round_added") == 0)
+            seed_hosts = (self.frontier_df()
+                          .filter(F.col("round_added") == 0)
                           .select("host").distinct().collect())
             self.allowed_hosts = {r["host"] for r in seed_hosts}
         return last["round"]
 
     def _read(self, table: str) -> DataFrame:
         return self.store[table].read(self.spark, self._snapshot_ids.get(table))
+
+    def _append(self, table: str, df: DataFrame) -> int:
+        """Append relative to the journal-committed snapshot (never onto a
+        crashed round's uncommitted appends)."""
+        return self.store[table].append(
+            df, base_snapshot_id=self._snapshot_ids.get(table))
+
+    # ------------------------------------------------------------------
+    # incremental frontier views
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _reconcile(base: DataFrame, updates: DataFrame | None) -> DataFrame:
+        """Apply the latest state-transition delta per url_hash. The delta
+        set spans at most frontier_compact_every rounds of scheduled work —
+        key-width, typically broadcastable — so the base (which holds the
+        fat url_canon strings) never shuffles."""
+        if updates is None:
+            return base
+        latest = (
+            updates.groupBy("url_hash")
+            .agg(F.max_by(F.struct("state", "attempts"), "round").alias("_u"))
+        )
+        return (
+            base.join(latest, "url_hash", "left")
+            .withColumn("state", F.coalesce(F.col("_u.state"), F.col("state")))
+            .withColumn(
+                "attempts",
+                F.coalesce(F.col("_u.attempts"), F.col("attempts")).cast("int"))
+            .drop("_u")
+        )
+
+    def _pending_frontier(self) -> DataFrame:
+        """The schedulable set: every base row is written pending, so rows
+        leave this view purely via terminal deltas (no archive scan)."""
+        return self._reconcile(
+            self._read("frontier"), self._read("frontier_updates")
+        ).filter(F.col("state") == "pending")
+
+    def frontier_df(self) -> DataFrame:
+        """Full frontier (pending ∪ terminal) — fixtures, resume, q30.
+        Terminal rows live exactly once in the archive (appended at
+        transition), pending rows exactly once in the reconciled base."""
+        archive = self._read("frontier_archive")
+        pending = self._pending_frontier()
+        if archive is None:
+            return pending
+        return pending.unionByName(archive)
 
     # ------------------------------------------------------------------
     # bloom helpers
@@ -284,8 +402,7 @@ class CrawlEngine:
     def run_round(self, round_no: int) -> dict:
         t0 = time.monotonic()
         cfg, pol = self.cfg, self.cfg.politeness
-        frontier = self._read("frontier")
-        pending = frontier.filter(F.col("state") == "pending")
+        pending = self._pending_frontier()
 
         # --- robots gate: broadcast rules-array join + codegen prefix
         # match (no Python crossing, no driver-pickled rule dict) ---
@@ -373,6 +490,20 @@ class CrawlEngine:
             .select("round", "partition_id", "scheduled", "fetched", "errors")
         )
 
+        # --- per-round per-host per-status request counters (the
+        # RecordRequest / RecordPageScraped families,
+        # internal/monitoring/metrics.go:601-661, rendered round-wise;
+        # host is the reference's label, status our deterministic
+        # fetched/miss stand-in for its code classes) ---
+        request_metrics = (
+            fetched.groupBy(
+                "host",
+                F.when(F.col("found"), "fetched").otherwise("miss")
+                .alias("status"))
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(round_no).alias("round"), "host", "status", "n")
+        )
+
         # --- out-links -> new frontier candidates ---
         spec = cfg.pagination_spec
         new_pag_state = None
@@ -421,10 +552,17 @@ class CrawlEngine:
         definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         needs_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
         url_seen = self._read("url_seen")
-        # url_seen grows to frontier size — shuffle hash join, never
-        # broadcast (the Bloom prefilter already shrank the probe side)
-        confirmed_new = needs_check.join(
-            url_seen.hint("shuffle_hash"), "url_hash", "left_anti")
+        # url_seen grows with the crawl (10^10 hashes = ~80 GB) — it must
+        # be SCANNED, never SHUFFLED, per round. The Bloom prefilter
+        # guarantees needs_check is small (true re-discoveries + the
+        # filter's false-positive rate × candidates — m_bits is sized for
+        # ~1% FP), so probe from the url_seen side with the broadcast
+        # probe set: one parallel scan, zero exchange of the seen set,
+        # per-round cost O(scan) instead of O(shuffle). The two follow-up
+        # joins are probe-sized (small × small).
+        probe = needs_check.select("url_hash")
+        dupes = url_seen.join(F.broadcast(probe), "url_hash", "left_semi")
+        confirmed_new = needs_check.join(dupes, "url_hash", "left_anti")
         new_urls = definite_new.unionByName(confirmed_new)
         # cached: new_rows feeds four consumers (url_seen append, bloom
         # shard build, frontier union, stats) — without the cache the whole
@@ -438,32 +576,46 @@ class CrawlEngine:
             .select([f.name for f in FRONTIER_SCHEMA.fields])
         ).cache()
 
-        # --- frontier state transitions ---
-        done = fetched.filter("found").select(
-            "url_hash", F.lit("done").alias("new_state"),
-            F.col("attempts").alias("new_attempts"))
-        missed = fetched.filter(~F.col("found")).select(
-            "url_hash",
-            F.when(F.col("attempts") + 1 >= cfg.max_attempts, "failed")
-             .otherwise("pending").alias("new_state"),
-            (F.col("attempts") + 1).alias("new_attempts"))
-        blocked_upd = blocked.select(
-            "url_hash", F.lit("blocked").alias("new_state"),
-            F.col("attempts").alias("new_attempts"))
-        updates = done.unionByName(missed).unionByName(blocked_upd)
-        if gdpr_blocked is not None:
-            updates = updates.unionByName(gdpr_blocked.select(
-                "url_hash", F.lit("blocked_gdpr").alias("new_state"),
-                F.col("attempts").alias("new_attempts")))
+        # --- frontier state transitions: O(round work) DELTAS, never a
+        # full-frontier join/rewrite. Terminal rows (done/failed/blocked*)
+        # go to the archive once, with a masking delta so they drop out of
+        # the pending view; retries are a delta only (attempts+1). ---
+        fcols = [f.name for f in FRONTIER_SCHEMA.fields]
 
-        new_frontier = (
-            frontier.join(updates, "url_hash", "left")
-            .withColumn("state", F.coalesce("new_state", "state"))
-            .withColumn("attempts",
-                        F.coalesce("new_attempts", "attempts").cast("int"))
-            .drop("new_state", "new_attempts")
-            .unionByName(new_rows)
-        ).cache()  # consumed by the snapshot write AND the pending count
+        def _as_update(df: DataFrame, state_col, attempts_col) -> DataFrame:
+            return df.select(
+                "url_hash", state_col.alias("state"),
+                attempts_col.cast("int").alias("attempts"),
+                F.lit(round_no).alias("round"))
+
+        def _as_archive(df: DataFrame, state_col, attempts_col) -> DataFrame:
+            return (df.withColumn("state", state_col)
+                    .withColumn("attempts", attempts_col.cast("int"))
+                    .select(fcols))
+
+        done = fetched.filter("found")
+        failed = fetched.filter(
+            ~F.col("found") & (F.col("attempts") + 1 >= cfg.max_attempts))
+        retried = fetched.filter(
+            ~F.col("found") & (F.col("attempts") + 1 < cfg.max_attempts))
+
+        terminal = [
+            (done, F.lit("done"), F.col("attempts")),
+            (failed, F.lit("failed"), F.col("attempts") + 1),
+            (blocked, F.lit("blocked"), F.col("attempts")),
+        ]
+        if gdpr_blocked is not None:
+            terminal.append(
+                (gdpr_blocked, F.lit("blocked_gdpr"), F.col("attempts")))
+
+        updates_df = _as_update(retried, F.lit("pending"),
+                                F.col("attempts") + 1)
+        archive_rows = None
+        for df, st, att in terminal:
+            updates_df = updates_df.unionByName(_as_update(df, st, att))
+            part = _as_archive(df, st, att)
+            archive_rows = part if archive_rows is None \
+                else archive_rows.unionByName(part)
 
         # --- crawl log (the reproducible order fixture) ---
         log = fetched.select(
@@ -532,26 +684,49 @@ class CrawlEngine:
             new_mult.cast("double").alias("rate_mult"),
         )
 
-        # --- checkpoint + round commit ---
+        # --- checkpoint + round commit: every frontier write is an
+        # O(round-work) append (base_snapshot pinned to the committed
+        # journal so crashed rounds can't leak uncommitted data) ---
         sids = dict(self._snapshot_ids)
-        sids["frontier"] = self.store["frontier"].overwrite(new_frontier)
-        sids["url_seen"] = self.store["url_seen"].append(
-            new_rows.select("url_hash"))
+        sids["frontier"] = self._append("frontier", new_rows)
+        sids["frontier_updates"] = self._append("frontier_updates", updates_df)
+        sids["frontier_archive"] = self._append("frontier_archive",
+                                                archive_rows)
+        sids["url_seen"] = self._append("url_seen", new_rows.select("url_hash"))
         new_hashes = new_rows.select("url_hash")
-        sids["bloom_shards"] = self.store["bloom_shards"].append(
-            self._bloom_partials(new_hashes, round_no))
+        sids["bloom_shards"] = self._append(
+            "bloom_shards", self._bloom_partials(new_hashes, round_no))
         sids["domain_state"] = self.store["domain_state"].overwrite(new_domain_state)
         if new_pag_state is not None:
             sids["pagination_state"] = self.store["pagination_state"].overwrite(
                 new_pag_state)
-        sids["crawl_log"] = self.store["crawl_log"].append(log)
-        sids["lineage_metrics"] = self.store["lineage_metrics"].append(metrics)
+        sids["crawl_log"] = self._append("crawl_log", log)
+        sids["lineage_metrics"] = self._append("lineage_metrics", metrics)
+        sids["request_metrics"] = self._append("request_metrics",
+                                               request_metrics)
 
         stats_row = fetched.agg(
             F.count("*").alias("scheduled"),
             F.sum(F.col("found").cast("long")).alias("fetched")).collect()[0]
         n_new = new_rows.count()
-        pending_left = new_frontier.filter(F.col("state") == "pending").count()
+
+        # post-round pending view over the freshly written snapshots (scan
+        # is O(pending + uncompacted deltas), independent of archive size)
+        base_new = self.store["frontier"].read(self.spark, sids["frontier"])
+        upd_new = self.store["frontier_updates"].read(
+            self.spark, sids["frontier_updates"])
+        pend_new = self._reconcile(base_new, upd_new).filter(
+            F.col("state") == "pending")
+        pending_left = pend_new.count()
+
+        # periodic compaction: fold deltas into the base (all-pending by
+        # construction) and truncate them — bounds reconcile depth
+        if (cfg.frontier_compact_every > 0
+                and round_no % cfg.frontier_compact_every == 0):
+            sids["frontier"] = self.store["frontier"].overwrite(pend_new)
+            sids["frontier_updates"] = self.store["frontier_updates"].overwrite(
+                self.spark.createDataFrame([], FRONTIER_UPDATES_SCHEMA))
+
         wall_ms = int((time.monotonic() - t0) * 1000)
         self.store.commit_round(round_no, sids)
         self._snapshot_ids = sids
@@ -560,7 +735,6 @@ class CrawlEngine:
         scheduled.unpersist()
         fetched.unpersist()
         new_rows.unpersist()
-        new_frontier.unpersist()
         return {
             "round": round_no,
             "scheduled": stats_row["scheduled"] or 0,

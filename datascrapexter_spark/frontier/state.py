@@ -81,9 +81,17 @@ class SnapshotTable:
         self._publish(m)
         return sid
 
-    def append(self, df: DataFrame, meta: dict | None = None) -> int:
+    def append(self, df: DataFrame, meta: dict | None = None,
+               base_snapshot_id: int | None = None) -> int:
+        """Append a delta on top of `base_snapshot_id` (default: current).
+
+        Passing the caller's last COMMITTED snapshot id makes appends safe
+        across crash-resume: a crashed round may have published snapshots
+        the round journal never committed, and appending onto `current`
+        would silently resurrect that uncommitted data. The crawl engine
+        always appends relative to its journal-committed snapshot."""
         rel = self._write_data_dir(df, (self.current_snapshot_id() or 0) + 1)
-        return self._commit(self._dirs_for(None) + [rel], meta)
+        return self._commit(self._dirs_for(base_snapshot_id) + [rel], meta)
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         rel = self._write_data_dir(df, (self.current_snapshot_id() or 0) + 1)
@@ -108,8 +116,9 @@ class StateStore:
     back to the snapshot ids recorded for it (so a crash mid-round replays
     that round from its start — per north_rule, resumable mid-crawl)."""
 
-    TABLES = ("frontier", "url_seen", "bloom_shards", "domain_state",
-              "pagination_state", "crawl_log", "lineage_metrics")
+    TABLES = ("frontier", "frontier_updates", "frontier_archive", "url_seen",
+              "bloom_shards", "domain_state", "pagination_state", "crawl_log",
+              "lineage_metrics", "request_metrics", "extraction_metrics")
 
     def __init__(self, root: str):
         self.root = root

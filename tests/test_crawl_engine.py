@@ -4,6 +4,7 @@ seed list and politeness budget; plus robots gating, retry, adaptation,
 and crash-resume."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from datascrapexter_spark.frontier.politeness import PolitenessConfig
 from datascrapexter_spark.frontier.scheduler import CrawlConfig, CrawlEngine
@@ -87,7 +88,7 @@ def test_robots_blocking(crawled):
     log = spark_log(engine)
     assert log, "crawl produced no log"
     assert not any("/private/" in row[3] for row in log)
-    frontier = engine._read("frontier")
+    frontier = engine.frontier_df()
     blocked = frontier.filter("state = 'blocked'").count()
     assert blocked > 0  # private URLs were discovered and blocked
 
@@ -103,7 +104,7 @@ def test_miss_retry_then_fail(crawled):
 
     miss_counts = Counter(row[3] for row in misses)
     assert max(miss_counts.values()) == cfg.max_attempts
-    failed = engine._read("frontier").filter("state = 'failed'").count()
+    failed = engine.frontier_df().filter("state = 'failed'").count()
     assert failed > 0
 
 
@@ -147,6 +148,71 @@ def test_resume_after_interrupt(spark, tmp_path, web):
     store2 = StateStore(str(tmp_path / "state"))
     engine2 = CrawlEngine(spark, store2, pages_df, robots_texts, cfg)
     engine2.run(seeds=None)  # resume from journal
+
+    sim = CrawlSimulator.from_raw(web[0], web[2], cfg)
+    sim.run(web[1])
+    assert spark_log(engine2) == sim.sorted_log()
+    seen2 = {r["url_hash"] for r in engine2.seen_hashes().collect()}
+    assert seen2 == sim.seen
+
+
+def test_request_metrics_match_log(crawled):
+    """request_metrics (per-round per-host per-status counters — the
+    RecordRequest/RecordPageScraped families rendered round-wise) agree
+    with counts recomputed from the crawl log."""
+    from collections import Counter
+
+    from datascrapexter_spark.functions.urlnorm import extract_domain
+
+    engine, _, _ = crawled
+    expected = Counter(
+        (row[0], extract_domain(row[3]), row[6]) for row in spark_log(engine)
+    )
+    got = Counter()
+    for r in engine._read("request_metrics").collect():
+        got[(r["round"], r["host"], r["status"])] += r["n"]
+    assert got == expected
+
+
+def test_compaction_interval_invariant(spark, tmp_path, web):
+    """frontier_compact_every=1 (fold deltas every round) produces the
+    exact same crawl log + seen set as the default interval — compaction
+    is a pure storage transform."""
+    cfg = make_cfg(frontier_compact_every=1)
+    engine, _ = run_spark_crawl(spark, tmp_path, web, cfg)
+    sim = CrawlSimulator.from_raw(web[0], web[2], cfg)
+    sim.run(web[1])
+    assert spark_log(engine) == sim.sorted_log()
+    seen = {r["url_hash"] for r in engine.seen_hashes().collect()}
+    assert seen == sim.seen
+
+
+def test_resume_ignores_uncommitted_appends(spark, tmp_path, web):
+    """A crash AFTER a round's snapshot appends but BEFORE the journal
+    commit must not leak those appends into the resumed crawl: appends are
+    pinned to the journal-committed base snapshot, so garbage published by
+    the dead round is simply never referenced."""
+    cfg = make_cfg()
+    engine1, _ = run_spark_crawl(spark, tmp_path, web, cfg,
+                                 interrupt_after=2)
+    # simulate the dead round-3: uncommitted APPENDS on append-only tables
+    # (the dangerous case — an overwrite is dropped by time travel, but a
+    # naive append would have stacked on top of these)
+    garbage_seen = engine1._read("url_seen").limit(3).withColumn(
+        "url_hash", F.col("url_hash") + 999)
+    engine1.store["url_seen"].append(garbage_seen)
+    engine1.store["frontier"].append(
+        engine1._read("frontier").limit(2))
+    engine1.store["frontier_updates"].append(
+        engine1._read("frontier_updates").limit(1))
+
+    pages_rows, seeds_rows, robots_texts = web
+    pages_df = spark.createDataFrame(
+        pages_rows, "url string, warc_ts timestamp, html binary, "
+                    "text string, lang string")
+    store2 = StateStore(str(tmp_path / "state"))
+    engine2 = CrawlEngine(spark, store2, pages_df, robots_texts, cfg)
+    engine2.run(seeds=None)
 
     sim = CrawlSimulator.from_raw(web[0], web[2], cfg)
     sim.run(web[1])
@@ -352,7 +418,7 @@ def test_gdpr_block_mode(spark, tmp_path):
     fetched = {row[3] for row in spark_log(engine) if row[6] == "fetched"}
     assert fetched == {"https://ok.example.com/a"}
     states = {r["url_canon"]: r["state"]
-              for r in engine._read("frontier").collect()}
+              for r in engine.frontier_df().collect()}
     assert states["https://shop.example.de/a"] == "blocked_gdpr"
     assert states["https://biz.example.co.uk/a"] == "blocked_gdpr"
 
