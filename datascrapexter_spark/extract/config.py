@@ -16,8 +16,13 @@ from ..functions.transforms import VALID_TRANSFORM_TYPES
 VALID_FIELD_TYPES = frozenset(
     {"text", "html", "attr", "list", "number", "float", "integer", "boolean",
      "date", "datetime", "time", "url", "email", "phone", "json", "csv",
-     "table", "count", "exists"}
+     "table", "count", "exists", "jsonld"}
 )
+
+# the one field type with an implicit selector: structured-data blocks are
+# addressed by their MIME type, not a user CSS path (the reference declares
+# the json-ld content processor as a config stub, components.go:31-42)
+JSONLD_DEFAULT_SELECTOR = 'script[type="application/ld+json"]'
 
 
 @dataclass
@@ -34,7 +39,7 @@ class FieldConfig:
         """Port of FieldExtractor.validateConfig (extractor.go:150-178)."""
         if not self.name:
             raise ValueError("field name is required")
-        if not self.selector:
+        if not self.selector and self.type != "jsonld":
             raise ValueError("field selector is required")
         if not self.type:
             raise ValueError("field type is required")

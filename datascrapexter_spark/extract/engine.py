@@ -22,6 +22,7 @@ from typing import Any, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..html import parse_html
@@ -46,6 +47,7 @@ _SPARK_TYPE_BY_FIELD_TYPE: dict[str, T.DataType] = {
     "boolean": T.BooleanType(),
     "exists": T.BooleanType(),
     "json": T.StringType(),  # canonical JSON dump of the parsed tree
+    "jsonld": T.StringType(),  # canonical JSON dump of the parsed graph(s)
     "csv": T.ArrayType(T.ArrayType(T.StringType())),
     "table": T.StructType([
         T.StructField("headers", T.ArrayType(T.StringType())),
@@ -93,7 +95,7 @@ def _to_cell(cfg: FieldConfig, value: Any):
     if cfg.transform:
         return value if isinstance(value, str) else str(value)
     t = cfg.type
-    if t == "json":
+    if t in ("json", "jsonld"):
         return _json.dumps(value, separators=(",", ":"), sort_keys=True)
     if t in ("number", "float"):
         return float(value)
@@ -166,3 +168,44 @@ def extract_fields_df(
             yield pd.DataFrame(out, columns=out_names)
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def extraction_metrics(results: DataFrame,
+                       fields: list[FieldConfig]) -> DataFrame:
+    """Per-field extraction success/error rates over an extract_fields_df
+    result — the RecordExtractionSuccess / RecordExtractionError counter
+    family (internal/monitoring/metrics.go:650-661) as one codegen
+    aggregation pass (no Python, no shuffle beyond the final global agg).
+
+    Returns (field, n_rows, n_success, n_error, error_rate): a field counts
+    as an error on a row when `_errors` holds an ERROR/CRITICAL entry for
+    it (warnings don't fail extraction — extractor.go:126-140)."""
+    def _has_err(name: str):
+        return F.exists(
+            "_errors",
+            lambda e: (e["field"] == name)
+            & F.upper(e["severity"]).isin("ERROR", "CRITICAL"),
+        )
+
+    aggs = [F.sum(_has_err(cfg.name).cast("long")).alias(cfg.name)
+            for cfg in fields]
+    counted = results.agg(F.count("*").alias("_n"), *aggs)
+    per_field = F.explode(F.array(*[
+        F.struct(
+            F.lit(cfg.name).alias("field"),
+            F.col(cfg.name).alias("n_error"),
+        )
+        for cfg in fields
+    ])).alias("m")
+    return (
+        counted.select(F.col("_n"), per_field)
+        .select(
+            F.col("m.field").alias("field"),
+            F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col("m.n_error")).alias("n_success"),
+            F.col("m.n_error").alias("n_error"),
+            F.when(F.col("_n") > 0,
+                   F.col("m.n_error") / F.col("_n"))
+            .otherwise(F.lit(0.0)).alias("error_rate"),
+        )
+    )

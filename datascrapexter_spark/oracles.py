@@ -581,6 +581,16 @@ SELECT doc_id,
        '055123' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS contact_phone
 FROM documents
 """,
+    "q29_jsonld_extraction": """
+SELECT doc_id,
+       'Doc ' || doc_id AS prod_name,
+       (n_chars || '.99')::DOUBLE AS price,
+       'SKU-' || doc_id AS sku,
+       '{"@type":"Product","name":"Doc ' || doc_id
+         || '","offers":{"price":' || n_chars || '.99},"sku":"SKU-'
+         || doc_id || '"}' AS ld_json
+FROM documents
+""",
     "q26_ann_ivf": _ivf_sql(5, 10, 16, 4),
     "q27_repetition_stats": _REPETITION_SQL,
     "q25_gdpr_flags": """

@@ -447,6 +447,35 @@ def q28_field_types_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "contact_email", "contact_phone")
 
 
+def q29_jsonld_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD structured-data extraction (`type: jsonld`): the ld+json
+    script block is parsed in the extraction pass (canonical sorted-key
+    dump), scalar fields then pulled JVM-side with get_json_object — the
+    reference declares this content processor as a config stub
+    (internal/pipeline/components.go:31-42)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = F.col("doc_id").cast("string")
+    ld = F.concat(
+        F.lit('{"@type":"Product","name":"Doc '), d,
+        F.lit('","offers":{"price":'), F.col("n_chars").cast("string"),
+        F.lit('.99},"sku":"SKU-'), d, F.lit('"}'),
+    )
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'), ld,
+        F.lit("</script></head><body><p>plain</p></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    fields = [FieldConfig(name="ld", selector="", type="jsonld")]
+    out = extract_fields_df(pages, fields)
+    return out.select(
+        "doc_id",
+        F.get_json_object("ld", "$.name").alias("prod_name"),
+        F.get_json_object("ld", "$.offers.price").cast("double").alias("price"),
+        F.get_json_object("ld", "$.sku").alias("sku"),
+        F.col("ld").alias("ld_json"),
+    )
+
+
 def q25_gdpr_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDPR TLD compliance gate (compliance_test.go:280-288) as a codegen
     column over synthesized multi-TLD domains: per-TLD counts of domains
@@ -640,5 +669,6 @@ QUERIES = {
     "q26_ann_ivf": q26_ann_ivf,
     "q27_repetition_stats": q27_repetition_stats,
     "q28_field_types_extended": q28_field_types_extended,
+    "q29_jsonld_extraction": q29_jsonld_extraction,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

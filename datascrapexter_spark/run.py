@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .extract.config import ScraperConfig, load_config
-from .extract.engine import extract_fields_df
+from .extract.engine import extract_fields_df, extraction_metrics
 from .frontier.pagination import PaginationSpec, page_urls
 from .frontier.politeness import PolitenessConfig
 from .frontier.scheduler import CrawlConfig, CrawlEngine
@@ -55,6 +55,7 @@ def run_scrape_job(
     robots_texts: dict[str, str] | None = None,
     state_root: str | None = None,
     max_rounds: int | None = None,
+    recovery=None,
 ) -> tuple[DataFrame, list[dict]]:
     """Run a full scrape job from a config against a pages table.
 
@@ -107,7 +108,17 @@ def run_scrape_job(
 
     seeds = spark.createDataFrame([(u,) for u in _seed_urls(cfg)],
                                   "url string")
-    stats = engine.run(seeds, max_rounds=crawl_cfg.max_rounds)
+    # the whole crawl runs under the error-recovery service, exactly as the
+    # reference wraps runScraper in errorService.ExecuteWithRetry
+    # (cmd/datascrapexter/main.go:28-44); pass a configured
+    # ErrorRecoveryService to add fallbacks/breakers per operation
+    if recovery is None:
+        from .errors import ErrorRecoveryService
+
+        recovery = ErrorRecoveryService()
+    stats = recovery.execute_with_retry(
+        lambda: engine.run(seeds, max_rounds=crawl_cfg.max_rounds),
+        "scrape")
 
     # everything fetched across rounds, joined back to its page body
     fetched = (
@@ -118,6 +129,10 @@ def run_scrape_job(
     results = extract_fields_df(
         fetched, cfg.fields, continue_on_error=cfg.continue_on_error
     )
+    # per-field success/error counters persisted next to the crawl's
+    # request_metrics (RecordExtractionSuccess/Error parity — SURVEY §2.4)
+    store["extraction_metrics"].overwrite(
+        extraction_metrics(results, cfg.fields))
     if output_path is not None:
         write_output(results, cfg.output_format, output_path)
     return results, stats

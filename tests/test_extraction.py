@@ -178,3 +178,37 @@ def test_extract_all_error_tracking():
 
     data2, errors2, _ = extract_all(doc, fields, continue_on_error=False)
     assert "after" not in data2  # chain stopped at the failure
+
+
+def test_jsonld_extraction():
+    """`type: jsonld` parses ld+json script blocks (implicit selector):
+    one block -> its tree, several -> a list, malformed -> error."""
+    one = parse_html(
+        '<html><head><script type="application/ld+json">'
+        '{"@type": "Product", "name": "Widget", "offers": {"price": 9.5}}'
+        "</script></head><body><p>x</p></body></html>"
+    )
+    cfg = FieldConfig(name="ld", selector="", type="jsonld")
+    assert extract_field(one, cfg) == {
+        "@type": "Product", "name": "Widget", "offers": {"price": 9.5}}
+
+    two = parse_html(
+        '<script type="application/ld+json">{"@type": "Organization"}'
+        '</script><script type="application/ld+json">{"@type": "Product"}'
+        "</script>"
+    )
+    assert extract_field(two, cfg) == [
+        {"@type": "Organization"}, {"@type": "Product"}]
+
+    # plain <script> blocks are NOT structured data
+    none = parse_html("<script>var x = 1;</script><p>y</p>")
+    assert extract_field(none, cfg) == {}  # default: no match
+
+    import pytest as _pytest
+
+    from datascrapexter_spark.extract.fields import ExtractionFailed
+
+    bad = parse_html(
+        '<script type="application/ld+json">{nope}</script>')
+    with _pytest.raises(ExtractionFailed, match="JSON-LD"):
+        extract_field(bad, cfg)

@@ -78,6 +78,31 @@ def test_run_scrape_job_end_to_end(spark, tmp_path):
     # robots: /private/ pages never fetched
     assert not any("/private/" in u for u in rows)
 
+    # metrics parity tables persisted by the job (monitoring/metrics.go
+    # RecordRequest + RecordExtractionSuccess/Error families):
+    # request_metrics totals equal the number of scheduled fetches...
+    from datascrapexter_spark.frontier.state import StateStore
+
+    store = StateStore(str(tmp_path / "state"))
+    req = store["request_metrics"].read(spark).collect()
+    assert sum(r["n"] for r in req) == sum(s["scheduled"] for s in stats)
+    assert sum(r["n"] for r in req if r["status"] == "fetched") == len(rows)
+    # ...and extraction_metrics counts errors per field over the results
+    em = {r["field"]: r
+          for r in store["extraction_metrics"].read(spark).collect()}
+    assert set(em) == {"title", "price", "status_raw", "items",
+                      "upper_title"}
+    n_res = len(rows)
+    for field, row in em.items():
+        n_err = sum(
+            1 for r in rows.values()
+            if any(e["field"] == field
+                   and e["severity"] in ("ERROR", "CRITICAL")
+                   for e in (r["_errors"] or []))
+        )
+        assert (row["n_rows"], row["n_error"], row["n_success"]) == \
+            (n_res, n_err, n_res - n_err), field
+
 
 def test_run_job_with_offset_pagination_seeds(spark, tmp_path):
     # pages table with offset-paginated URLs
