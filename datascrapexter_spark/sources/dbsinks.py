@@ -68,9 +68,11 @@ def column_types(schema: T.StructType, dialect: str = "sqlite",
 def create_table_sql(table: str, schema: T.StructType,
                      dialect: str = "sqlite",
                      overrides: dict[str, str] | None = None,
-                     pg_schema: str = "public") -> str:
+                     pg_schema: str = "public",
+                     system_cols: bool = True) -> str:
     """CREATE TABLE IF NOT EXISTS with the reference's system columns
-    (sqlite.go:196-205 / postgresql.go:152-163)."""
+    (sqlite.go:196-205 / postgresql.go:152-163). `system_cols=False` emits
+    a bare staging-table shape (exactly the DataFrame's columns)."""
     names = {f.name for f in schema.fields}
     defs = ["\t" + f"{quote_ident(c)} {t}"
             for c, t in column_types(schema, dialect, overrides)]
@@ -78,16 +80,16 @@ def create_table_sql(table: str, schema: T.StructType,
     # the data doesn't already carry a column of that name
     if dialect == "sqlite":
         head = f"CREATE TABLE IF NOT EXISTS {quote_ident(table)} (\n"
-        if "id" not in names:
+        if system_cols and "id" not in names:
             defs = ["\tid INTEGER PRIMARY KEY AUTOINCREMENT"] + defs
-        if "created_at" not in names:
+        if system_cols and "created_at" not in names:
             defs = defs + ["\tcreated_at DATETIME DEFAULT CURRENT_TIMESTAMP"]
     else:
         head = (f"CREATE TABLE IF NOT EXISTS "
                 f"{quote_ident(pg_schema)}.{quote_ident(table)} (\n")
-        if "id" not in names:
+        if system_cols and "id" not in names:
             defs = ["\tid BIGSERIAL PRIMARY KEY"] + defs
-        if "created_at" not in names:
+        if system_cols and "created_at" not in names:
             defs = defs + ["\tcreated_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP"]
     return head + ",\n".join(defs) + "\n);"
 
@@ -117,6 +119,38 @@ def conflict_insert_sql(table: str, columns: list[str],
             f"({cols}) VALUES ({ph}){tail}")
 
 
+def conflict_apply_sql(table: str, columns: list[str],
+                       on_conflict: str = "ignore",
+                       dialect: str = "sqlite",
+                       pg_schema: str = "public",
+                       staging_table: str | None = None) -> str:
+    """The database-side half of the distributed upsert: INSERT ... SELECT
+    from the staging table with the conflict clause (the reference's
+    per-row statements, sqlite.go:354-373 / postgresql.go:330-355, applied
+    set-wise over a staged batch). The distributed writer lands rows in
+    `{table}_staging` (plain INSERT — expressible by any bulk loader);
+    this one statement then applies them under ignore/replace/error
+    semantics atomically."""
+    if on_conflict not in VALID_CONFLICT:
+        raise ValueError(f"invalid conflict strategy: {on_conflict!r} "
+                         f"(valid: {VALID_CONFLICT})")
+    staging = staging_table or f"{table}_staging"
+    cols = ", ".join(quote_ident(c) for c in columns)
+    if dialect == "sqlite":
+        verb = {"ignore": "INSERT OR IGNORE",
+                "replace": "INSERT OR REPLACE",
+                "error": "INSERT"}[on_conflict]
+        return (f"{verb} INTO {quote_ident(table)} ({cols}) "
+                f"SELECT {cols} FROM {quote_ident(staging)}")
+    if on_conflict == "replace":
+        raise ValueError("conflict strategy 'replace' is SQLite-only "
+                         "(types.go:42-44)")
+    tail = " ON CONFLICT DO NOTHING" if on_conflict == "ignore" else ""
+    return (f"INSERT INTO {quote_ident(pg_schema)}.{quote_ident(table)} "
+            f"({cols}) SELECT {cols} FROM "
+            f"{quote_ident(pg_schema)}.{quote_ident(staging)}{tail}")
+
+
 def _json_safe_rows(df: DataFrame) -> DataFrame:
     """Serialize nested columns to JSON strings (convertValue parity)."""
     from .sinks import csv_safe
@@ -141,59 +175,124 @@ def write_sqlite(df: DataFrame, path: str, table: str = DEFAULT_TABLE,
                            column_type_overrides)
     ins = conflict_insert_sql(table, cols, on_conflict, "sqlite")
 
-    def to_cell(v):
-        if isinstance(v, bool):  # before int: bool is an int subclass
-            return int(v)
-        if v is None or isinstance(v, (int, float, str, bytes)):
-            return v
-        if hasattr(v, "isoformat"):
-            return v.isoformat()
-        return json.dumps(v, sort_keys=True)
-
-    n = 0
     con = sqlite3.connect(path)
     try:
         con.execute(ddl)
         con.commit()
-        batch: list[tuple] = []
-        for row in flat.toLocalIterator():
-            batch.append(tuple(to_cell(row[c]) for c in cols))
-            if len(batch) >= batch_size:
-                with con:  # one transaction per batch
-                    con.executemany(ins, batch)
-                n += len(batch)
-                batch = []
-        if batch:
-            with con:
-                con.executemany(ins, batch)
-            n += len(batch)
+        return _stream_insert(con, ins, flat, cols, batch_size)
     finally:
         con.close()
+
+
+def _to_cell(v):
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return int(v)
+    if v is None or isinstance(v, (int, float, str, bytes)):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return json.dumps(v, sort_keys=True)
+
+
+def _stream_insert(con, ins: str, flat: DataFrame, cols: list[str],
+                   batch_size: int) -> int:
+    """Stream rows driver-side in batched transactions (sqlite.go:300-323);
+    toLocalIterator keeps one partition resident."""
+    n = 0
+    batch: list[tuple] = []
+    for row in flat.toLocalIterator():
+        batch.append(tuple(_to_cell(row[c]) for c in cols))
+        if len(batch) >= batch_size:
+            with con:  # one transaction per batch
+                con.executemany(ins, batch)
+            n += len(batch)
+            batch = []
+    if batch:
+        with con:
+            con.executemany(ins, batch)
+        n += len(batch)
     return n
+
+
+def upsert_via_staging(df: DataFrame, path: str, table: str = DEFAULT_TABLE,
+                       batch_size: int = DEFAULT_BATCH_SIZE,
+                       on_conflict: str = "ignore",
+                       column_type_overrides: dict[str, str] | None = None,
+                       ) -> int:
+    """Executable end-to-end staging upsert (the contract write_jdbc
+    documents for PostgreSQL, proven here with SQLite playing the database
+    side): (1) land rows in `{table}_staging` via plain INSERT — the only
+    statement a distributed bulk writer needs; (2) apply them to the
+    target with ONE conflict_apply_sql statement, atomically; (3) drop the
+    staging table. Conflict semantics come from the target's own UNIQUE
+    constraints, exactly as in the reference (sqlite.go:354-373 relies on
+    the table's indexes). Returns rows applied (ignored duplicates don't
+    count)."""
+    flat = _json_safe_rows(df)
+    cols = [f.name for f in flat.schema.fields]
+    staging = f"{table}_staging"
+    con = sqlite3.connect(path)
+    try:
+        con.execute(create_table_sql(table, flat.schema, "sqlite",
+                                     column_type_overrides))
+        con.execute(f"DROP TABLE IF EXISTS {quote_ident(staging)}")
+        con.execute(create_table_sql(staging, flat.schema, "sqlite",
+                                     column_type_overrides,
+                                     system_cols=False))
+        con.commit()
+        _stream_insert(
+            con, conflict_insert_sql(staging, cols, "error", "sqlite"),
+            flat, cols, batch_size)
+        before = con.total_changes
+        with con:  # apply + drop in one transaction
+            con.execute(conflict_apply_sql(table, cols, on_conflict,
+                                           "sqlite"))
+            applied = con.total_changes - before
+            con.execute(f"DROP TABLE {quote_ident(staging)}")
+        return applied
+    finally:
+        con.close()
 
 
 def write_jdbc(df: DataFrame, url: str, table: str = DEFAULT_TABLE,
                batch_size: int = DEFAULT_BATCH_SIZE,
                on_conflict: str = "error", mode: str = "append",
-               properties: dict[str, str] | None = None) -> None:
+               properties: dict[str, str] | None = None,
+               apply_fn=None) -> None:
     """Distributed JDBC write (the PostgreSQL sink's scale path).
 
     on_conflict="error" is the plain INSERT the JDBC writer performs
-    natively. "ignore"/"replace" require an upsert statement Spark's JDBC
-    writer cannot express — stage with this writer into `{table}_staging`
-    and run `conflict_insert_sql(..., dialect='postgresql')` /  a MERGE on
-    the database side; this function refuses rather than silently
-    downgrading the conflict semantics.
+    natively. "ignore"/"replace" need the staging flow: this writer lands
+    the rows in `{table}_staging` and the database applies them with ONE
+    `conflict_apply_sql(..., dialect='postgresql')` statement — the exact
+    flow `upsert_via_staging` executes end-to-end against SQLite in the
+    test suite. Pass `apply_fn(sql)` (a callable that runs a statement on
+    the database — e.g. a psycopg cursor.execute) to complete the upsert;
+    without one this function refuses rather than silently downgrading
+    the conflict semantics.
     """
     if on_conflict not in VALID_CONFLICT:
         raise ValueError(f"invalid conflict strategy: {on_conflict!r}")
-    if on_conflict != "error":
+    flat = _json_safe_rows(df)
+    if on_conflict == "error":
+        (
+            flat.write.mode(mode)
+            .option("batchsize", str(batch_size))
+            .jdbc(url, table, properties=properties or {})
+        )
+        return
+    if apply_fn is None:
         raise NotImplementedError(
             f"on_conflict={on_conflict!r} needs a database-side upsert: "
-            f"write to {table}_staging and apply "
-            "dbsinks.conflict_insert_sql(..., dialect='postgresql')")
+            f"pass apply_fn to run conflict_apply_sql against the server "
+            f"(the staging contract exercised end-to-end by "
+            f"upsert_via_staging in test_sinks)")
+    cols = [f.name for f in flat.schema.fields]
+    staging = f"{table}_staging"
     (
-        _json_safe_rows(df).write.mode(mode)
+        flat.write.mode("overwrite")
         .option("batchsize", str(batch_size))
-        .jdbc(url, table, properties=properties or {})
+        .jdbc(url, staging, properties=properties or {})
     )
+    apply_fn(conflict_apply_sql(table, cols, on_conflict, "postgresql"))
+    apply_fn(f'DROP TABLE "public".{quote_ident(staging)}')

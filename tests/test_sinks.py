@@ -177,6 +177,62 @@ def test_jdbc_requires_url_and_refuses_silent_downgrade(spark, df, tmp_path):
         write_jdbc(df, "jdbc:postgresql://x/db", on_conflict="ignore")
 
 
+def test_upsert_via_staging_end_to_end(spark, tmp_path):
+    """The staging->apply upsert contract EXECUTED: rows land in
+    {table}_staging via plain INSERT (all a distributed writer needs),
+    then ONE conflict_apply_sql statement applies them under the
+    reference's ignore/replace/error semantics (sqlite.go:354-373,
+    postgresql.go:330-355). SQLite plays the database side; the generated
+    PostgreSQL statement has the identical INSERT..SELECT shape."""
+    import sqlite3
+
+    from datascrapexter_spark.sources.dbsinks import (
+        conflict_apply_sql,
+        upsert_via_staging,
+    )
+
+    path = str(tmp_path / "u.db")
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE scraped_data (id INTEGER PRIMARY KEY "
+                "AUTOINCREMENT, k TEXT UNIQUE, v TEXT, "
+                "created_at DATETIME DEFAULT CURRENT_TIMESTAMP)")
+    con.commit()
+    con.close()
+
+    base = spark.createDataFrame([("a", "old"), ("b", "old")],
+                                 "k string, v string")
+    assert upsert_via_staging(base, path, on_conflict="ignore") == 2
+
+    # conflicting batch: 'a' collides, 'c' is new
+    dup = spark.createDataFrame([("a", "new"), ("c", "new")],
+                                "k string, v string")
+    assert upsert_via_staging(dup, path, on_conflict="ignore") == 1
+    con = sqlite3.connect(path)
+    got = dict(con.execute("SELECT k, v FROM scraped_data").fetchall())
+    con.close()
+    assert got == {"a": "old", "b": "old", "c": "new"}  # ignore kept first
+
+    assert upsert_via_staging(dup, path, on_conflict="replace") == 2
+    con = sqlite3.connect(path)
+    got = dict(con.execute("SELECT k, v FROM scraped_data").fetchall())
+    # staging table dropped after the apply
+    left = con.execute("SELECT name FROM sqlite_master WHERE "
+                       "name LIKE '%staging%'").fetchall()
+    con.close()
+    assert got == {"a": "new", "b": "old", "c": "new"}  # replace kept last
+    assert left == []
+
+    with pytest.raises(sqlite3.IntegrityError):
+        upsert_via_staging(dup, path, on_conflict="error")
+
+    # the PostgreSQL apply statement is the same shape, server-side
+    assert conflict_apply_sql("t", ["k", "v"], "ignore", "postgresql") == (
+        'INSERT INTO "public"."t" ("k", "v") SELECT "k", "v" FROM '
+        '"public"."t_staging" ON CONFLICT DO NOTHING')
+    with pytest.raises(ValueError):
+        conflict_apply_sql("t", ["k"], "replace", "postgresql")
+
+
 # ---------------------------------------------------------------------------
 # XML sink (xml.go parity: sorted keys, type attrs, item_N arrays, nil)
 # ---------------------------------------------------------------------------
