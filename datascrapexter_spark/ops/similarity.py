@@ -134,6 +134,125 @@ def ann_topk_lsh(
     )
 
 
+def write_lsh_index(corpus: DataFrame, path: str, dim: int,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_planes: int = 8) -> None:
+    """Persist the corpus PARTITIONED BY SRP bucket — the ANN index's
+    at-rest layout. A probe then reads only the queries' buckets
+    (`PartitionFilters` in the scan, proven by test_ops' plan assert)
+    instead of the whole corpus: with 8 planes that is 1/256th of the
+    files per probed bucket."""
+    (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            as_double_array(vec_col).alias("cv"),
+            lsh_bucket_col(vec_col, dim, n_planes).alias("bucket"),
+        )
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    )
+
+
+def ann_topk_lsh_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ann_topk_lsh over a persisted bucket-partitioned index: the query
+    set's buckets (queries are broadcast-small by contract, so collecting
+    their bucket ids driver-side is O(queries)) prune the corpus scan to
+    matching partitions, then the same broadcast equi-join + window top-k.
+    Identical results to ann_topk_lsh on the same corpus (tested)."""
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        as_double_array(vec_col).alias("qv"),
+        lsh_bucket_col(vec_col, dim, n_planes).alias("bucket"),
+    )
+    buckets = [r["bucket"] for r in q.select("bucket").distinct().collect()]
+    c = (
+        spark.read.parquet(index_path)
+        .filter(F.col("bucket").isin(buckets))  # -> PartitionFilters
+    )
+    cos = cosine_sim_col(F.col("qv"), F.col("cv"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = c.join(F.broadcast(q), "bucket").withColumn("cos", cos)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cos", "rank")
+    )
+
+
+def write_ivf_index(corpus: DataFrame, path: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_centroids: int = 16,
+                    round_to: int = 6) -> list[list[float]]:
+    """Persist the corpus PARTITIONED BY IVF cell (the inverted lists as
+    the physical layout); returns the deterministic centroids the caller
+    re-derives probes from. A probe reads only n_probe of n_centroids
+    partitions."""
+    cents = pick_centroids(corpus, id_col, vec_col, n_centroids)
+    (
+        corpus.select(
+            F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv")
+        )
+        .withColumn("cell", assign_cells_col(F.col("cv"), cents, round_to))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    )
+    return cents
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ivf_topk over a persisted cell-partitioned index: per-query probe
+    cells are ranked from the centroid literals, their union prunes the
+    corpus scan (PartitionFilters), then broadcast equi-join on cell +
+    window top-k. Identical results to ivf_topk given the same centroids."""
+    q = queries.select(
+        F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv")
+    ).withColumn("_c", F.explode(_centroid_array(cents)))
+    qcos = F.round(cosine_sim_col(F.col("qv"), F.col("_c.cvec")), round_to or 6)
+    wq = Window.partitionBy("qid").orderBy(F.col("_qcos").desc(),
+                                           F.col("_c.cell").asc())
+    probes = (
+        q.withColumn("_qcos", qcos)
+        .withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select("qid", "qv", F.col("_c.cell").alias("cell"))
+    )
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    c = (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(cells))  # -> PartitionFilters
+    )
+    cos = cosine_sim_col(F.col("qv"), F.col("cv"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = c.join(F.broadcast(probes), "cell").withColumn("cos", cos)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "cid", "cos", "rank")
+    )
+
+
 def pick_centroids(corpus: DataFrame, id_col: str, vec_col: str,
                    n_centroids: int) -> list[list[float]]:
     """Deterministic IVF centroids: the n corpus vectors with the smallest

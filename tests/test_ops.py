@@ -437,3 +437,45 @@ def test_repetition_columns(spark):
     assert got[2]["dup_bigram_ratio"] == pytest.approx(0.0)
     # doc3 lines: l1, l1, l2 (empty filtered) -> 2 distinct of 3
     assert got[3]["dup_line_ratio"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+
+
+def test_indexed_ann_partition_pruned(spark, tmp_path):
+    """Persisted bucket/cell-partitioned ANN indexes: probes read ONLY the
+    queries' partitions (PartitionFilters in the scan — the claim in
+    similarity.py's scale notes, proven) and return results identical to
+    the unindexed operators."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 3)
+
+    def rows_of(res):
+        return sorted((r["qid"], r["rank"], r["cid"], r["cos"])
+                      for r in res.collect())
+
+    # SRP-LSH index
+    lsh_path = str(tmp_path / "lsh_idx")
+    similarity.write_lsh_index(df, lsh_path, dim=8, n_planes=4)
+    lsh_idx = similarity.ann_topk_lsh_indexed(
+        spark, lsh_path, queries, dim=8, k=4, n_planes=4)
+    assert rows_of(lsh_idx) == rows_of(
+        similarity.ann_topk_lsh(df, queries, dim=8, k=4, n_planes=4))
+    # the scan must carry a real bucket filter, not an empty list
+    import re
+
+    plan = lsh_idx._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1)
+
+    # IVF index
+    ivf_path = str(tmp_path / "ivf_idx")
+    cents = similarity.write_ivf_index(df, ivf_path, n_centroids=4)
+    ivf_idx = similarity.ivf_topk_indexed(
+        spark, ivf_path, queries, cents, k=4, n_probe=2)
+    assert rows_of(ivf_idx) == rows_of(
+        similarity.ivf_topk(df, queries, k=4, n_centroids=4, n_probe=2))
+    plan2 = ivf_idx._jdf.queryExecution().executedPlan().toString()
+    m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", plan2)
+    assert m2 and "cell" in m2.group(1)
