@@ -591,6 +591,26 @@ SELECT doc_id,
          || doc_id || '"}' AS ld_json
 FROM documents
 """,
+    "q31_url_security": """
+-- flags derived from the generating arithmetic (the construction rule is
+-- the spec); weights: medium 15 / high 30, http warning +10
+WITH f AS (
+  SELECT c_custkey,
+         (c_custkey % 13 = 0) AS too_long,
+         (c_custkey % 4 = 2)  AS bad_scheme,
+         (c_custkey % 5 = 0)  AS localhost_access,
+         (c_custkey % 3 = 0)  AS sensitive_path,
+         (c_custkey % 11 = 0) AS sql_keywords,
+         (c_custkey % 4 = 1)  AS is_http
+  FROM customer
+)
+SELECT c_custkey, too_long, bad_scheme, localhost_access, sensitive_path,
+       sql_keywords,
+       (too_long::INT * 15 + bad_scheme::INT * 30
+        + localhost_access::INT * 15 + sensitive_path::INT * 15
+        + sql_keywords::INT * 30 + is_http::INT * 10)::INT AS risk_score
+FROM f
+""",
     "q26_ann_ivf": _ivf_sql(5, 10, 16, 4),
     "q27_repetition_stats": _REPETITION_SQL,
     "q25_gdpr_flags": """

@@ -476,6 +476,39 @@ def q29_jsonld_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q31_url_security(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL security risk scoring (internal/security/security.go:128-201)
+    as pure codegen columns over synthesized URLs mixing schemes, hosts,
+    sensitive paths, SQL keywords, and over-length padding — flags +
+    additive risk score (addIssue weights, :283-296)."""
+    from .functions.security import url_risk_columns, url_risk_score_col
+
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    scheme = (F.when(k % 4 == 1, "http").when(k % 4 == 2, "ftp")
+              .otherwise("https"))
+    host = F.when(k % 5 == 0, F.lit("localhost")).otherwise(
+        F.concat(F.lit("shop"), (k % 50).cast("string"),
+                 F.lit(".example"), (k % 7).cast("string"), F.lit(".com")))
+    path = F.when(k % 3 == 0, F.lit("/admin/area")).otherwise(F.lit("/items"))
+    query = F.when(k % 11 == 0, F.lit("?q=union+select")).otherwise(
+        F.lit("?q=ok"))
+    pad = F.when(k % 13 == 0,
+                 F.concat(F.lit("&pad="), F.repeat(F.lit("x"), 2100))
+                 ).otherwise(F.lit(""))
+    url = F.concat(scheme, F.lit("://"), host, path, query, pad)
+    flags = url_risk_columns(url)
+    return cust.select(
+        "c_custkey",
+        flags["url_length_exceeded"].alias("too_long"),
+        flags["disallowed_scheme"].alias("bad_scheme"),
+        flags["localhost_access"].alias("localhost_access"),
+        flags["sensitive_path"].alias("sensitive_path"),
+        flags["sql_keywords"].alias("sql_keywords"),
+        url_risk_score_col(url).alias("risk_score"),
+    )
+
+
 def q25_gdpr_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDPR TLD compliance gate (compliance_test.go:280-288) as a codegen
     column over synthesized multi-TLD domains: per-TLD counts of domains
@@ -670,5 +703,6 @@ QUERIES = {
     "q27_repetition_stats": q27_repetition_stats,
     "q28_field_types_extended": q28_field_types_extended,
     "q29_jsonld_extraction": q29_jsonld_extraction,
+    "q31_url_security": q31_url_security,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
