@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "q19_text_stats",
     "q23_embedding_neardup_lsh",
     "q24_enrichment",
+    "q29_jsonld_extraction",
 ]
 
 URL_MULT = int(os.environ.get("SPARK_GRAFT_URL_MULT", "10"))

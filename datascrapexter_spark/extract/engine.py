@@ -48,6 +48,7 @@ _SPARK_TYPE_BY_FIELD_TYPE: dict[str, T.DataType] = {
     "exists": T.BooleanType(),
     "json": T.StringType(),  # canonical JSON dump of the parsed tree
     "jsonld": T.StringType(),  # canonical JSON dump of the parsed graph(s)
+    "microdata": T.StringType(),  # canonical JSON dump of the item tree(s)
     "csv": T.ArrayType(T.ArrayType(T.StringType())),
     "table": T.StructType([
         T.StructField("headers", T.ArrayType(T.StringType())),
@@ -95,7 +96,7 @@ def _to_cell(cfg: FieldConfig, value: Any):
     if cfg.transform:
         return value if isinstance(value, str) else str(value)
     t = cfg.type
-    if t in ("json", "jsonld"):
+    if t in ("json", "jsonld", "microdata"):
         return _json.dumps(value, separators=(",", ":"), sort_keys=True)
     if t in ("number", "float"):
         return float(value)

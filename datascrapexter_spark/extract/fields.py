@@ -269,6 +269,65 @@ def _extract_jsonld(nodes: list[Node]) -> Any:
     return parsed[0] if len(parsed) == 1 else parsed
 
 
+_MICRODATA_VALUE_ATTR = {
+    # HTML microdata property-value rules (whatwg spec §5.2.4), the same
+    # table the reference's declared-but-stubbed microdata processor
+    # (internal/pipeline/components.go:31-42) would implement
+    "meta": "content",
+    "audio": "src", "embed": "src", "iframe": "src", "img": "src",
+    "source": "src", "track": "src", "video": "src",
+    "a": "href", "area": "href", "link": "href",
+    "object": "data",
+    "data": "value", "meter": "value",
+    "time": "datetime",
+}
+
+
+def _microdata_prop_value(node: Node) -> str:
+    attr_name = _MICRODATA_VALUE_ATTR.get(node.tag or "")
+    if attr_name is not None:
+        v = node.attr(attr_name)
+        if v is not None:
+            return v
+    return go_trim_space(node.text())
+
+
+def _microdata_item(node: Node) -> dict:
+    """One itemscope element -> {type?, properties{name: [values]}}.
+    Nested itemscope+itemprop elements become nested items; descent stops
+    at nested scopes (their props belong to the nested item)."""
+    item: dict = {}
+    itype = node.attr("itemtype")
+    if itype:
+        item["type"] = go_trim_space(itype)
+    props: dict[str, list] = {}
+
+    def walk(n: Node) -> None:
+        for child in n.element_children():
+            prop = child.attr("itemprop")
+            is_scope = child.attr("itemscope") is not None
+            if prop:
+                value = (_microdata_item(child) if is_scope
+                         else _microdata_prop_value(child))
+                for name in prop.split():
+                    props.setdefault(name, []).append(value)
+            if not is_scope:
+                walk(child)
+
+    walk(node)
+    item["properties"] = dict(sorted(props.items()))
+    return item
+
+
+def _extract_microdata(nodes: list[Node]) -> Any:
+    """Microdata structured data: one item -> its dict, several -> a
+    list (mirrors _extract_jsonld's shape)."""
+    items = [_microdata_item(n) for n in nodes]
+    if not items:
+        return None
+    return items[0] if len(items) == 1 else items
+
+
 def _extract_csv(node: Node) -> list[list[str]]:
     text = go_trim_space(node.text())
     if text == "":
@@ -342,7 +401,7 @@ def get_default_value(cfg: FieldConfig) -> Any:
         return 0
     if t in ("boolean", "exists"):
         return False
-    if t in ("json", "jsonld", "table"):
+    if t in ("json", "jsonld", "microdata", "table"):
         return {}
     return ""
 
@@ -354,7 +413,13 @@ def extract_raw_value(doc: Node, cfg: FieldConfig) -> Any:
         from .config import JSONLD_DEFAULT_SELECTOR
 
         selector = JSONLD_DEFAULT_SELECTOR
-    selection = select(doc, selector)
+    if cfg.type == "microdata" and not selector:
+        # top-level items = itemscope WITHOUT itemprop (nested items carry
+        # itemprop and are reached through their parent)
+        selection = [n for n in select(doc, "[itemscope]")
+                     if not n.attr("itemprop")]
+    else:
+        selection = select(doc, selector)
     if not selection:
         return None
     first = selection[0]
@@ -389,6 +454,8 @@ def extract_raw_value(doc: Node, cfg: FieldConfig) -> Any:
         return _extract_json(first)
     if t == "jsonld":
         return _extract_jsonld(selection)
+    if t == "microdata":
+        return _extract_microdata(selection)
     if t == "csv":
         return _extract_csv(first)
     if t == "table":

@@ -591,6 +591,19 @@ SELECT doc_id,
          || doc_id || '"}' AS ld_json
 FROM documents
 """,
+    "q32_microdata_extraction": """
+SELECT doc_id,
+       'https://schema.org/Product' AS item_type,
+       'Doc ' || doc_id AS prod_name,
+       '/img/' || doc_id || '.jpg' AS image,
+       (n_chars || '.99')::DOUBLE AS price,
+       '{"properties":{"image":["/img/' || doc_id
+         || '.jpg"],"name":["Doc ' || doc_id
+         || '"],"offers":[{"properties":{"price":["' || n_chars
+         || '.99"]},"type":"https://schema.org/Offer"}]},"type":"https://schema.org/Product"}'
+         AS md_json
+FROM documents
+""",
     "q31_url_security": """
 -- flags derived from the generating arithmetic (the construction rule is
 -- the spec); weights: medium 15 / high 30, http warning +10

@@ -476,6 +476,36 @@ def q29_jsonld_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q32_microdata_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Microdata structured-data extraction (`type: microdata`): an
+    itemscope/itemprop product card parsed to the canonical item tree,
+    with a nested offer itemscope; scalars pulled back JVM-side."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><div itemscope itemtype="https://schema.org/'
+              'Product"><span itemprop="name">Doc '), d,
+        F.lit('</span><img itemprop="image" src="/img/'), d,
+        F.lit('.jpg"><div itemprop="offers" itemscope itemtype='
+              '"https://schema.org/Offer"><meta itemprop="price" '
+              'content="'), F.col("n_chars").cast("string"),
+        F.lit('.99"></div></div></body></html>'),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    fields = [FieldConfig(name="md", selector="", type="microdata")]
+    out = extract_fields_df(pages, fields)
+    return out.select(
+        "doc_id",
+        F.get_json_object("md", "$.type").alias("item_type"),
+        F.get_json_object("md", "$.properties.name[0]").alias("prod_name"),
+        F.get_json_object("md", "$.properties.image[0]").alias("image"),
+        F.get_json_object(
+            "md", "$.properties.offers[0].properties.price[0]"
+        ).cast("double").alias("price"),
+        F.col("md").alias("md_json"),
+    )
+
+
 def q31_url_security(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL security risk scoring (internal/security/security.go:128-201)
     as pure codegen columns over synthesized URLs mixing schemes, hosts,
@@ -704,5 +734,6 @@ QUERIES = {
     "q28_field_types_extended": q28_field_types_extended,
     "q29_jsonld_extraction": q29_jsonld_extraction,
     "q31_url_security": q31_url_security,
+    "q32_microdata_extraction": q32_microdata_extraction,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

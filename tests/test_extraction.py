@@ -212,3 +212,44 @@ def test_jsonld_extraction():
         '<script type="application/ld+json">{nope}</script>')
     with _pytest.raises(ExtractionFailed, match="JSON-LD"):
         extract_field(bad, cfg)
+
+
+def test_microdata_extraction():
+    """`type: microdata` walks itemscope/itemprop trees: value-attr table
+    per tag, nested itemscope -> nested item, multiple top-level items ->
+    list, multi-name itemprop fans out."""
+    doc = parse_html(
+        '<div itemscope itemtype="https://schema.org/Product">'
+        '<span itemprop="name">Widget</span>'
+        '<img itemprop="image" src="/w.jpg">'
+        '<a itemprop="url" href="/w">link</a>'
+        '<time itemprop="released" datetime="2024-01-02">Jan 2</time>'
+        '<div itemprop="offers" itemscope itemtype="https://schema.org/Offer">'
+        '<meta itemprop="price" content="9.99"></div></div>'
+    )
+    cfg = FieldConfig(name="md", selector="", type="microdata")
+    got = extract_field(doc, cfg)
+    assert got == {
+        "type": "https://schema.org/Product",
+        "properties": {
+            "image": ["/w.jpg"],
+            "name": ["Widget"],
+            "offers": [{
+                "type": "https://schema.org/Offer",
+                "properties": {"price": ["9.99"]},
+            }],
+            "released": ["2024-01-02"],
+            "url": ["/w"],
+        },
+    }
+
+    two = parse_html(
+        '<div itemscope><b itemprop="a">1</b></div>'
+        '<div itemscope><b itemprop="a b">2</b></div>'
+    )
+    got2 = extract_field(two, cfg)
+    assert isinstance(got2, list) and len(got2) == 2
+    assert got2[1]["properties"] == {"a": ["2"], "b": ["2"]}
+
+    # no itemscope anywhere -> default
+    assert extract_field(parse_html("<p>x</p>"), cfg) == {}
