@@ -295,6 +295,10 @@ class CrawlEngine:
         sids["request_metrics"] = self.store["request_metrics"].overwrite(
             self.spark.createDataFrame(
                 [], "round int, host string, status string, n long"))
+        sids["round_metrics"] = self.store["round_metrics"].overwrite(
+            self.spark.createDataFrame(
+                [], "round int, scheduled long, fetched long, new_urls long, "
+                    "pending long, wall_ms long"))
         self.store.commit_round(0, sids)
         self._snapshot_ids = sids
 
@@ -728,14 +732,7 @@ class CrawlEngine:
                 self.spark.createDataFrame([], FRONTIER_UPDATES_SCHEMA))
 
         wall_ms = int((time.monotonic() - t0) * 1000)
-        self.store.commit_round(round_no, sids)
-        self._snapshot_ids = sids
-
-        gated.unpersist()
-        scheduled.unpersist()
-        fetched.unpersist()
-        new_rows.unpersist()
-        return {
+        stats = {
             "round": round_no,
             "scheduled": stats_row["scheduled"] or 0,
             "fetched": stats_row["fetched"] or 0,
@@ -743,6 +740,23 @@ class CrawlEngine:
             "pending": pending_left,
             "wall_ms": wall_ms,
         }
+        # round-level observability row (the dashboard-counter family,
+        # metrics.go RecordPageScraped totals, rendered per round)
+        sids["round_metrics"] = self._append(
+            "round_metrics",
+            self.spark.createDataFrame(
+                [(round_no, stats["scheduled"], stats["fetched"],
+                  n_new, pending_left, wall_ms)],
+                "round int, scheduled long, fetched long, new_urls long, "
+                "pending long, wall_ms long"))
+        self.store.commit_round(round_no, sids)
+        self._snapshot_ids = sids
+
+        gated.unpersist()
+        scheduled.unpersist()
+        fetched.unpersist()
+        new_rows.unpersist()
+        return stats
 
     def _pagination_links(self, fetched_pages: DataFrame, spec: PaginationSpec,
                           round_no: int) -> tuple[DataFrame, DataFrame | None]:

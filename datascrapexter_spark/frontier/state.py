@@ -118,7 +118,8 @@ class StateStore:
 
     TABLES = ("frontier", "frontier_updates", "frontier_archive", "url_seen",
               "bloom_shards", "domain_state", "pagination_state", "crawl_log",
-              "lineage_metrics", "request_metrics", "extraction_metrics")
+              "lineage_metrics", "request_metrics", "extraction_metrics",
+              "round_metrics")
 
     def __init__(self, root: str):
         self.root = root

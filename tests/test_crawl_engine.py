@@ -174,6 +174,20 @@ def test_request_metrics_match_log(crawled):
     assert got == expected
 
 
+def test_round_metrics_match_stats(crawled):
+    """The persisted round_metrics rows equal the stats run_round
+    returned (resumable observability — dashboard-counter parity)."""
+    engine, stats, _ = crawled
+    rows = {r["round"]: r
+            for r in engine._read("round_metrics").collect()}
+    assert len(rows) == len(stats)
+    for s in stats:
+        r = rows[s["round"]]
+        for k in ("scheduled", "fetched", "new_urls", "pending"):
+            assert r[k] == s[k], (k, s)
+        assert r["wall_ms"] > 0
+
+
 def test_compaction_interval_invariant(spark, tmp_path, web):
     """frontier_compact_every=1 (fold deltas every round) produces the
     exact same crawl log + seen set as the default interval — compaction
