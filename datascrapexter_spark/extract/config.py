@@ -16,7 +16,7 @@ from ..functions.transforms import VALID_TRANSFORM_TYPES
 VALID_FIELD_TYPES = frozenset(
     {"text", "html", "attr", "list", "number", "float", "integer", "boolean",
      "date", "datetime", "time", "url", "email", "phone", "json", "csv",
-     "table", "count", "exists", "jsonld", "microdata"}
+     "table", "count", "exists", "jsonld", "microdata", "rdfa", "media"}
 )
 
 # the one field type with an implicit selector: structured-data blocks are
@@ -39,7 +39,8 @@ class FieldConfig:
         """Port of FieldExtractor.validateConfig (extractor.go:150-178)."""
         if not self.name:
             raise ValueError("field name is required")
-        if not self.selector and self.type not in ("jsonld", "microdata"):
+        if not self.selector and self.type not in ("jsonld", "microdata",
+                                                   "rdfa", "media"):
             raise ValueError("field selector is required")
         if not self.type:
             raise ValueError("field type is required")

@@ -49,6 +49,8 @@ _SPARK_TYPE_BY_FIELD_TYPE: dict[str, T.DataType] = {
     "json": T.StringType(),  # canonical JSON dump of the parsed tree
     "jsonld": T.StringType(),  # canonical JSON dump of the parsed graph(s)
     "microdata": T.StringType(),  # canonical JSON dump of the item tree(s)
+    "rdfa": T.StringType(),  # canonical JSON dump of the item tree(s)
+    "media": T.ArrayType(T.MapType(T.StringType(), T.StringType())),
     "csv": T.ArrayType(T.ArrayType(T.StringType())),
     "table": T.StructType([
         T.StructField("headers", T.ArrayType(T.StringType())),
@@ -96,8 +98,10 @@ def _to_cell(cfg: FieldConfig, value: Any):
     if cfg.transform:
         return value if isinstance(value, str) else str(value)
     t = cfg.type
-    if t in ("json", "jsonld", "microdata"):
+    if t in ("json", "jsonld", "microdata", "rdfa"):
         return _json.dumps(value, separators=(",", ":"), sort_keys=True)
+    if t == "media":
+        return list(value)
     if t in ("number", "float"):
         return float(value)
     if t == "integer":

@@ -328,6 +328,90 @@ def _extract_microdata(nodes: list[Node]) -> Any:
     return items[0] if len(items) == 1 else items
 
 
+def _rdfa_prop_value(node: Node) -> str:
+    """RDFa Lite property value: content attr wins, then the tag's
+    resource attr (same table as microdata), then text content."""
+    content = node.attr("content")
+    if content is not None:
+        return content
+    attr_name = _MICRODATA_VALUE_ATTR.get(node.tag or "")
+    if attr_name is not None:
+        v = node.attr(attr_name)
+        if v is not None:
+            return v
+    return go_trim_space(node.text())
+
+
+def _rdfa_item(node: Node, vocab: str | None = None) -> dict:
+    """One typeof element -> {type, vocab?, properties{name: [values]}}
+    (RDFa Lite: vocab inherits down, typeof starts a new item, property
+    collects; nested typeof+property becomes a nested item)."""
+    item: dict = {}
+    t = node.attr("typeof")
+    if t:
+        item["type"] = go_trim_space(t)
+    v = node.attr("vocab") or vocab
+    if v:
+        item["vocab"] = go_trim_space(v)
+    props: dict[str, list] = {}
+
+    def walk(n: Node) -> None:
+        for child in n.element_children():
+            prop = child.attr("property")
+            has_typeof = child.attr("typeof") is not None
+            if prop:
+                value = (_rdfa_item(child, v) if has_typeof
+                         else _rdfa_prop_value(child))
+                for name in prop.split():
+                    props.setdefault(name, []).append(value)
+            if not has_typeof:
+                walk(child)
+
+    walk(node)
+    item["properties"] = dict(sorted(props.items()))
+    return item
+
+
+def _extract_rdfa(nodes: list[Node]) -> Any:
+    """RDFa Lite structured data (the third declared-but-stubbed content
+    processor, components.go:31-42); shape mirrors _extract_microdata."""
+    # vocab may be declared on an ancestor of the item; resolve upward
+    def inherited_vocab(n: Node) -> str | None:
+        p = n.parent
+        while p is not None:
+            v = p.attr("vocab")
+            if v:
+                return v
+            p = p.parent
+        return None
+
+    items = [_rdfa_item(n, inherited_vocab(n)) for n in nodes]
+    if not items:
+        return None
+    return items[0] if len(items) == 1 else items
+
+
+_MEDIA_DEFAULT_SELECTOR = "img, video, audio, source"
+
+
+def _extract_media(nodes: list[Node]) -> list[dict]:
+    """Media extractor (the reference's declared media content processor,
+    components.go:38-42): one row per media element — kind/src/alt/type
+    as a uniform string map (absent attrs -> absent keys)."""
+    out = []
+    for n in nodes:
+        entry: dict[str, str] = {"kind": n.tag or ""}
+        src = n.attr("src") or n.attr("srcset")
+        if src is not None:
+            entry["src"] = src
+        for a in ("alt", "type", "poster"):
+            v = n.attr(a)
+            if v is not None:
+                entry[a] = v
+        out.append(entry)
+    return out
+
+
 def _extract_csv(node: Node) -> list[list[str]]:
     text = go_trim_space(node.text())
     if text == "":
@@ -401,8 +485,10 @@ def get_default_value(cfg: FieldConfig) -> Any:
         return 0
     if t in ("boolean", "exists"):
         return False
-    if t in ("json", "jsonld", "microdata", "table"):
+    if t in ("json", "jsonld", "microdata", "rdfa", "table"):
         return {}
+    if t == "media":
+        return []
     return ""
 
 
@@ -418,6 +504,12 @@ def extract_raw_value(doc: Node, cfg: FieldConfig) -> Any:
         # itemprop and are reached through their parent)
         selection = [n for n in select(doc, "[itemscope]")
                      if not n.attr("itemprop")]
+    elif cfg.type == "rdfa" and not selector:
+        # top-level items = typeof WITHOUT property
+        selection = [n for n in select(doc, "[typeof]")
+                     if not n.attr("property")]
+    elif cfg.type == "media" and not selector:
+        selection = select(doc, _MEDIA_DEFAULT_SELECTOR)
     else:
         selection = select(doc, selector)
     if not selection:
@@ -456,6 +548,10 @@ def extract_raw_value(doc: Node, cfg: FieldConfig) -> Any:
         return _extract_jsonld(selection)
     if t == "microdata":
         return _extract_microdata(selection)
+    if t == "rdfa":
+        return _extract_rdfa(selection)
+    if t == "media":
+        return _extract_media(selection)
     if t == "csv":
         return _extract_csv(first)
     if t == "table":

@@ -604,6 +604,29 @@ SELECT doc_id,
          AS md_json
 FROM documents
 """,
+    "q33_rdfa_extraction": """
+SELECT doc_id,
+       'Product' AS item_type,
+       'https://schema.org/' AS vocab,
+       'Doc ' || doc_id AS prod_name,
+       (n_chars || '.99')::DOUBLE AS price,
+       '{"properties":{"name":["Doc ' || doc_id
+         || '"],"offers":[{"properties":{"price":["' || n_chars
+         || '.99"]},"type":"Offer","vocab":"https://schema.org/"}],"url":["/d/'
+         || doc_id
+         || '"]},"type":"Product","vocab":"https://schema.org/"}' AS rd_json
+FROM documents
+""",
+    "q34_media_extraction": """
+SELECT doc_id,
+       3::INT AS n_media,
+       'img' AS first_kind,
+       '/i/' || doc_id || '.jpg' AS first_src,
+       'pic ' || doc_id AS first_alt,
+       '/p/' || doc_id || '.jpg' AS video_poster,
+       '/a/' || doc_id || '.ogg' AS audio_src
+FROM documents
+""",
     "q31_url_security": """
 -- flags derived from the generating arithmetic (the construction rule is
 -- the spec); weights: medium 15 / high 30, http warning +10

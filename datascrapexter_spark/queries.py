@@ -506,6 +506,64 @@ def q32_microdata_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33_rdfa_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDFa Lite structured-data extraction (`type: rdfa`): vocab +
+    typeof/property walker with content-attr precedence, nested typeof
+    items."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body vocab="https://schema.org/"><div typeof='
+              '"Product"><span property="name">Doc '), d,
+        F.lit('</span><a property="url" href="/d/'), d,
+        F.lit('">x</a><span property="offers" typeof="Offer">'
+              '<meta property="price" content="'),
+        F.col("n_chars").cast("string"),
+        F.lit('.99"></span></div></body></html>'),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    fields = [FieldConfig(name="rd", selector="", type="rdfa")]
+    out = extract_fields_df(pages, fields)
+    return out.select(
+        "doc_id",
+        F.get_json_object("rd", "$.type").alias("item_type"),
+        F.get_json_object("rd", "$.vocab").alias("vocab"),
+        F.get_json_object("rd", "$.properties.name[0]").alias("prod_name"),
+        F.get_json_object(
+            "rd", "$.properties.offers[0].properties.price[0]"
+        ).cast("double").alias("price"),
+        F.col("rd").alias("rd_json"),
+    )
+
+
+def q34_media_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media extractor (`type: media`): img/video/audio/source elements
+    to uniform (kind, src, alt, ...) maps; counts + first src per page."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><body><img src="/i/'), d,
+        F.lit('.jpg" alt="pic '), d,
+        F.lit('"><video src="/v/'), d,
+        F.lit('.mp4" poster="/p/'), d,
+        F.lit('.jpg"></video><audio src="/a/'), d,
+        F.lit('.ogg"></audio></body></html>'),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    fields = [FieldConfig(name="media", selector="", type="media")]
+    out = extract_fields_df(pages, fields)
+    m = F.col("media")
+    return out.select(
+        "doc_id",
+        F.size(m).alias("n_media"),
+        F.element_at(m, 1)["kind"].alias("first_kind"),
+        F.element_at(m, 1)["src"].alias("first_src"),
+        F.element_at(m, 1)["alt"].alias("first_alt"),
+        F.element_at(m, 2)["poster"].alias("video_poster"),
+        F.element_at(m, 3)["src"].alias("audio_src"),
+    )
+
+
 def q31_url_security(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL security risk scoring (internal/security/security.go:128-201)
     as pure codegen columns over synthesized URLs mixing schemes, hosts,
@@ -735,5 +793,7 @@ QUERIES = {
     "q29_jsonld_extraction": q29_jsonld_extraction,
     "q31_url_security": q31_url_security,
     "q32_microdata_extraction": q32_microdata_extraction,
+    "q33_rdfa_extraction": q33_rdfa_extraction,
+    "q34_media_extraction": q34_media_extraction,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

@@ -253,3 +253,47 @@ def test_microdata_extraction():
 
     # no itemscope anywhere -> default
     assert extract_field(parse_html("<p>x</p>"), cfg) == {}
+
+
+def test_rdfa_extraction():
+    """`type: rdfa` (RDFa Lite): vocab inheritance, typeof items,
+    content-attr precedence, nested typeof+property items."""
+    doc = parse_html(
+        '<body vocab="https://schema.org/">'
+        '<div typeof="Product"><span property="name">Widget</span>'
+        '<a property="url" href="/w">x</a>'
+        '<span property="offers" typeof="Offer">'
+        '<meta property="price" content="9.99"></span></div></body>'
+    )
+    cfg = FieldConfig(name="rd", selector="", type="rdfa")
+    got = extract_field(doc, cfg)
+    assert got == {
+        "type": "Product",
+        "vocab": "https://schema.org/",
+        "properties": {
+            "name": ["Widget"],
+            "offers": [{
+                "type": "Offer",
+                "vocab": "https://schema.org/",
+                "properties": {"price": ["9.99"]},
+            }],
+            "url": ["/w"],
+        },
+    }
+    assert extract_field(parse_html("<p>x</p>"), cfg) == {}
+
+
+def test_media_extraction():
+    """`type: media`: img/video/audio/source to uniform maps."""
+    doc = parse_html(
+        '<img src="/a.jpg" alt="A"><video src="/b.mp4" poster="/b.jpg">'
+        "</video><audio src=\"/c.ogg\"></audio><p>text</p>"
+    )
+    cfg = FieldConfig(name="m", selector="", type="media")
+    got = extract_field(doc, cfg)
+    assert got == [
+        {"kind": "img", "src": "/a.jpg", "alt": "A"},
+        {"kind": "video", "src": "/b.mp4", "poster": "/b.jpg"},
+        {"kind": "audio", "src": "/c.ogg"},
+    ]
+    assert extract_field(parse_html("<p>x</p>"), cfg) == []
