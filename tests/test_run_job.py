@@ -173,3 +173,26 @@ def test_run_job_unknown_pagination_type_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown pagination type"):
         run_scrape_job(spark, config, pages,
                        state_root=str(tmp_path / "state"))
+
+
+def test_cli_validate_template_version(tmp_path, capsys):
+    """The non-run CLI subcommands (main.go:303-347): template output
+    round-trips through validate; bad configs exit 1 with the
+    user-friendly error surface; version prints."""
+    from datascrapexter_spark.__main__ import main
+
+    assert main(["version"]) == 0
+    out = capsys.readouterr().out
+    assert "datascrapexter_spark" in out
+
+    assert main(["template", "--type", "news"]) == 0
+    tpl = capsys.readouterr().out
+    cfg_path = tmp_path / "t.yaml"
+    cfg_path.write_text(tpl)
+    assert main(["validate", str(cfg_path), "-v"]) == 0
+    out = capsys.readouterr().out
+    assert "is valid" in out and "news_scraper" in out
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("name: x\nfields: []\n")
+    assert main(["validate", str(bad)]) == 1
