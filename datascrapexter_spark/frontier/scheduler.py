@@ -153,6 +153,11 @@ class CrawlConfig:
     # rounds (caps reconcile-join depth at K rounds of scheduled work;
     # compaction itself costs O(pending), amortized over K rounds)
     frontier_compact_every: int = 8
+    # maybe-seen rows at or below this probe the seen set via broadcast
+    # reverse-semi (url_seen scanned, never shuffled); above it the round
+    # is link-heavy and the exact check falls back to the shuffle-hash
+    # anti-join (2M hashes ~ 16 MB broadcast)
+    seen_probe_broadcast_max: int = 2_000_000
 
 
 class CrawlEngine:
@@ -553,20 +558,33 @@ class CrawlEngine:
             flagged = probe_maybe_seen_df(
                 candidates, self._read("bloom_shards"),
                 cfg.bloom_n_shards, cfg.bloom_m_bits, cfg.bloom_k)
+        # flagged is consumed by BOTH branches below — cached so the
+        # links -> canonicalize -> bloom Arrow chain runs once, not twice;
+        # the cache materialization also prices the probe strategy choice
+        flagged = flagged.cache()
+        n_maybe = flagged.filter(F.col("maybe_seen")).count()
         definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         needs_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
         url_seen = self._read("url_seen")
-        # url_seen grows with the crawl (10^10 hashes = ~80 GB) — it must
-        # be SCANNED, never SHUFFLED, per round. The Bloom prefilter
-        # guarantees needs_check is small (true re-discoveries + the
-        # filter's false-positive rate × candidates — m_bits is sized for
-        # ~1% FP), so probe from the url_seen side with the broadcast
-        # probe set: one parallel scan, zero exchange of the seen set,
-        # per-round cost O(scan) instead of O(shuffle). The two follow-up
-        # joins are probe-sized (small × small).
-        probe = needs_check.select("url_hash")
-        dupes = url_seen.join(F.broadcast(probe), "url_hash", "left_semi")
-        confirmed_new = needs_check.join(dupes, "url_hash", "left_anti")
+        if n_maybe <= cfg.seen_probe_broadcast_max:
+            # url_seen grows with the crawl (10^10 hashes = ~80 GB) — it
+            # must be SCANNED, never SHUFFLED, per round. With a small
+            # maybe-seen set (quiet rounds, bloom FP ~1%), probe from the
+            # url_seen side with a broadcast probe: one parallel scan,
+            # zero exchange of the seen set; the follow-up joins are
+            # probe-sized.
+            probe = needs_check.select("url_hash")
+            dupes = url_seen.join(F.broadcast(probe), "url_hash",
+                                  "left_semi")
+            confirmed_new = needs_check.join(dupes, "url_hash", "left_anti")
+        else:
+            # heavy round (steady-state crawls re-discover most links, so
+            # maybe-seen is round-sized): broadcast would OOM — fall back
+            # to the shuffle-hash anti-join keyed on url_hash. O(seen)
+            # shuffle; the storage-partitioned-join variant (Iceberg
+            # bucketed url_seen) removes it at cluster scale.
+            confirmed_new = needs_check.join(
+                url_seen.hint("shuffle_hash"), "url_hash", "left_anti")
         new_urls = definite_new.unionByName(confirmed_new)
         # cached: new_rows feeds four consumers (url_seen append, bloom
         # shard build, frontier union, stats) — without the cache the whole
@@ -755,6 +773,7 @@ class CrawlEngine:
         gated.unpersist()
         scheduled.unpersist()
         fetched.unpersist()
+        flagged.unpersist()
         new_rows.unpersist()
         return stats
 

@@ -201,6 +201,19 @@ def test_compaction_interval_invariant(spark, tmp_path, web):
     assert seen == sim.seen
 
 
+def test_seen_probe_strategies_identical(spark, tmp_path, web):
+    """seen_probe_broadcast_max=0 forces the heavy-round shuffle-hash
+    anti-join path; the crawl must be bit-identical to the broadcast
+    reverse-semi default (and to the oracle sim)."""
+    cfg = make_cfg(seen_probe_broadcast_max=0)
+    engine, _ = run_spark_crawl(spark, tmp_path, web, cfg)
+    sim = CrawlSimulator.from_raw(web[0], web[2], cfg)
+    sim.run(web[1])
+    assert spark_log(engine) == sim.sorted_log()
+    seen = {r["url_hash"] for r in engine.seen_hashes().collect()}
+    assert seen == sim.seen
+
+
 def test_resume_ignores_uncommitted_appends(spark, tmp_path, web):
     """A crash AFTER a round's snapshot appends but BEFORE the journal
     commit must not leak those appends into the resumed crawl: appends are
