@@ -195,18 +195,26 @@ def minhash_signature(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16,
     max_shingle_doc_freq: int | None = None,
 ) -> DataFrame:
-    """MinHash signature: h_s(doc) = min over shingles of md5(shingle + '#s').
+    """MinHash signature: h_s(doc) = min over shingles of the s-th 32-bit
+    slice of md5(shingle + '#' + s//4).
 
-    md5 hex strings compare lexicographically = numerically (fixed width),
-    so min() over the hex digest is a valid min-hash; seeds are suffix
-    salts. One groupBy, num_hashes partial-aggregating min()s.
+    One md5 digest yields FOUR independent 8-hex-char (32-bit) min-hash
+    functions, so 16 hashes cost 4 digests per shingle, not 16 — the
+    hashing dominates this operator's one corpus scan. Hex slices compare
+    lexicographically = numerically (fixed width, lowercase), so min()
+    over the slice is a valid min-hash in any SQL engine (the DuckDB
+    oracle computes the identical expression).
     `max_shingle_doc_freq` drops stop-shingles before hashing (see
     minhash_lsh_pairs).
     """
     ex = _cap_doc_freq(_exploded_shingles(df, id_col, text_col, n), id_col,
                        max_shingle_doc_freq)
     aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{s}")))).alias(f"h{s}")
+        F.min(
+            F.substring(
+                F.md5(F.concat(F.col("shingle"), F.lit(f"#{s // 4}"))),
+                1 + 8 * (s % 4), 8)
+        ).alias(f"h{s}")
         for s in range(num_hashes)
     ]
     return ex.groupBy(id_col).agg(*aggs)

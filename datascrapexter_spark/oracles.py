@@ -37,8 +37,11 @@ sh AS (
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
     rows = num_hashes // bands
+    # 4 x 32-bit slices per digest — must mirror dedup.minhash_signature
     mins = ", ".join(
-        f"min(md5(shingle || '#{s}')) AS h{s}" for s in range(num_hashes)
+        f"min(substring(md5(shingle || '#{s // 4}'), {1 + 8 * (s % 4)}, 8))"
+        f" AS h{s}"
+        for s in range(num_hashes)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {j} AS band, md5(concat_ws('|', {cols})) AS key FROM sig".format(

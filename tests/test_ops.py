@@ -67,16 +67,19 @@ def test_minhash_lsh_finds_near_dups(spark):
 
 
 def test_minhash_signature_matches_python(spark):
-    """Signature h_s = min over distinct shingles of md5(shingle + '#s')."""
+    """Signature h_s = min over distinct shingles of the s-th 32-bit hex
+    slice of md5(shingle + '#' + s//4) — 4 hash functions per digest."""
     text = "a b c d e"
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
     sig = dedup.minhash_signature(df, "doc_id", "text", n=3,
-                                  num_hashes=4).collect()[0]
+                                  num_hashes=8).collect()[0]
     toks = text.split(" ")
     shingles = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
-    for s in range(4):
-        expect = min(hashlib.md5(f"{sh}#{s}".encode()).hexdigest()
-                     for sh in shingles)
+    for s in range(8):
+        expect = min(
+            hashlib.md5(f"{sh}#{s // 4}".encode()).hexdigest()
+            [8 * (s % 4):8 * (s % 4) + 8]
+            for sh in shingles)
         assert sig[f"h{s}"] == expect
 
 
