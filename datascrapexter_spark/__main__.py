@@ -141,8 +141,10 @@ def _template(template_type: str) -> int:
         "name": cfg.name,
         "base_url": cfg.base_url,
         "fields": [
+            # explicit identity/equality checks: `v not in (..., False)`
+            # would also drop int/float 0 values (0 == False in Python)
             {k: v for k, v in dataclasses.asdict(f).items()
-             if v not in (None, "", [], False)}
+             if not (v is None or v == "" or v == [] or v is False)}
             for f in cfg.fields
         ],
         "output": {"format": cfg.output_format, "file": cfg.output_file},

@@ -192,7 +192,9 @@ def extraction_metrics(results: DataFrame,
             & F.upper(e["severity"]).isin("ERROR", "CRITICAL"),
         )
 
-    aggs = [F.sum(_has_err(cfg.name).cast("long")).alias(cfg.name)
+    # coalesce: F.sum over zero rows is NULL — empty crawls report 0s
+    aggs = [F.coalesce(F.sum(_has_err(cfg.name).cast("long")),
+                       F.lit(0)).alias(cfg.name)
             for cfg in fields]
     counted = results.agg(F.count("*").alias("_n"), *aggs)
     per_field = F.explode(F.array(*[

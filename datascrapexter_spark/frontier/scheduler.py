@@ -154,10 +154,22 @@ class CrawlConfig:
     # compaction itself costs O(pending), amortized over K rounds)
     frontier_compact_every: int = 8
     # maybe-seen rows at or below this probe the seen set via broadcast
-    # reverse-semi (url_seen scanned, never shuffled); above it the round
-    # is link-heavy and the exact check falls back to the shuffle-hash
-    # anti-join (2M hashes ~ 16 MB broadcast)
+    # reverse-semi; above it (link-heavy round) the probe rides a
+    # shuffle-hash semi co-located with the bucketed seen table. BOTH
+    # paths scan url_seen without exchanging it and hash-build only the
+    # round-sized probe (2M hashes ~ 16 MB broadcast)
     seen_probe_broadcast_max: int = 2_000_000
+    # buckets for url_seen at rest (state.BucketedSeenTable). Size so one
+    # bucket streams through one task: 10^10 hashes / 4096 buckets ≈ 20 MB
+    # of longs each; sandbox default = local cores
+    seen_n_buckets: int = 32
+    # seeded per-request user-agent rotation (antidetect.py): each fetch
+    # gets a deterministic UA keyed on (url_hash, round, seed) and
+    # request_metrics gains an `agent` label column. Off by default — the
+    # reference's antidetect module is opt-in config too
+    rotate_user_agents: bool = False
+    ua_rotation_seed: int = 0
+    user_agent_pool: tuple[str, ...] | None = None
 
 
 class CrawlEngine:
@@ -280,7 +292,9 @@ class CrawlEngine:
         sids["frontier_archive"] = self.store["frontier_archive"].overwrite(
             self.spark.createDataFrame([], FRONTIER_SCHEMA))
         seen = frontier.select("url_hash")
-        sids["url_seen"] = self.store["url_seen"].overwrite(seen)
+        self.store.url_seen.n_buckets = self.cfg.seen_n_buckets
+        sids["url_seen"] = self.store.url_seen.overwrite_all(
+            self.spark, seen, round_no=0)
         sids["bloom_shards"] = self.store["bloom_shards"].overwrite(
             self._bloom_partials(seen, 0)
         )
@@ -297,9 +311,11 @@ class CrawlEngine:
             self.spark.createDataFrame(
                 [], "round int, partition_id int, scheduled long, fetched long, "
                     "errors long"))
+        req_schema = ("round int, host string, status string, agent string, "
+                      "n long") if self.cfg.rotate_user_agents else \
+                     "round int, host string, status string, n long"
         sids["request_metrics"] = self.store["request_metrics"].overwrite(
-            self.spark.createDataFrame(
-                [], "round int, host string, status string, n long"))
+            self.spark.createDataFrame([], req_schema))
         sids["round_metrics"] = self.store["round_metrics"].overwrite(
             self.spark.createDataFrame(
                 [], "round int, scheduled long, fetched long, new_urls long, "
@@ -503,15 +519,30 @@ class CrawlEngine:
         # RecordRequest / RecordPageScraped families,
         # internal/monitoring/metrics.go:601-661, rendered round-wise;
         # host is the reference's label, status our deterministic
-        # fetched/miss stand-in for its code classes) ---
-        request_metrics = (
-            fetched.groupBy(
-                "host",
-                F.when(F.col("found"), "fetched").otherwise("miss")
-                .alias("status"))
-            .agg(F.count("*").alias("n"))
-            .select(F.lit(round_no).alias("round"), "host", "status", "n")
-        )
+        # fetched/miss stand-in for its code classes). With UA rotation
+        # on (antidetect.py), each request also carries its seeded agent
+        # label — pure codegen, keyed (url_hash, round, seed) ---
+        status_col = (F.when(F.col("found"), "fetched").otherwise("miss")
+                      .alias("status"))
+        if cfg.rotate_user_agents:
+            from .antidetect import user_agent_col
+
+            agent = user_agent_col(
+                F.col("url_hash"), F.lit(round_no),
+                list(cfg.user_agent_pool) if cfg.user_agent_pool else None,
+                seed=cfg.ua_rotation_seed).alias("agent")
+            request_metrics = (
+                fetched.groupBy("host", status_col, agent)
+                .agg(F.count("*").alias("n"))
+                .select(F.lit(round_no).alias("round"), "host", "status",
+                        "agent", "n")
+            )
+        else:
+            request_metrics = (
+                fetched.groupBy("host", status_col)
+                .agg(F.count("*").alias("n"))
+                .select(F.lit(round_no).alias("round"), "host", "status", "n")
+            )
 
         # --- out-links -> new frontier candidates ---
         spec = cfg.pagination_spec
@@ -565,26 +596,31 @@ class CrawlEngine:
         n_maybe = flagged.filter(F.col("maybe_seen")).count()
         definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         needs_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-        url_seen = self._read("url_seen")
+        # url_seen grows with the crawl (10^10 hashes = ~80 GB) — it must
+        # be SCANNED, never SHUFFLED and never HASH-BUILT, per round. Both
+        # probe strategies share one shape: semi-join the seen scan
+        # against the round-sized probe (dupes = seen ⋉ probe), then
+        # anti-join the probe against those dupes — every build side and
+        # every exchanged side is O(this round's links).
+        url_seen = self.store.url_seen.read(
+            self.spark, self._snapshot_ids.get("url_seen"))
+        probe = needs_check.select("url_hash")
         if n_maybe <= cfg.seen_probe_broadcast_max:
-            # url_seen grows with the crawl (10^10 hashes = ~80 GB) — it
-            # must be SCANNED, never SHUFFLED, per round. With a small
-            # maybe-seen set (quiet rounds, bloom FP ~1%), probe from the
-            # url_seen side with a broadcast probe: one parallel scan,
-            # zero exchange of the seen set; the follow-up joins are
-            # probe-sized.
-            probe = needs_check.select("url_hash")
+            # quiet round (bloom FP ~1%): driver-broadcast probe — one
+            # parallel seen scan, zero exchange anywhere
             dupes = url_seen.join(F.broadcast(probe), "url_hash",
                                   "left_semi")
-            confirmed_new = needs_check.join(dupes, "url_hash", "left_anti")
         else:
-            # heavy round (steady-state crawls re-discover most links, so
-            # maybe-seen is round-sized): broadcast would OOM — fall back
-            # to the shuffle-hash anti-join keyed on url_hash. O(seen)
-            # shuffle; the storage-partitioned-join variant (Iceberg
-            # bucketed url_seen) removes it at cluster scale.
-            confirmed_new = needs_check.join(
-                url_seen.hint("shuffle_hash"), "url_hash", "left_anti")
+            # link-heavy round (steady-state crawls re-discover most
+            # links): probe too big to collect — shuffle it into the seen
+            # table's bucket layout instead. url_seen is bucketed at rest
+            # by url_hash (state.BucketedSeenTable), so Catalyst plans a
+            # shuffled-hash semi where the seen side is a bare bucketed
+            # FileScan (no Exchange, `Bucketed: true` — PLANS.md extract)
+            # and only the probe is exchanged + built.
+            dupes = url_seen.join(probe.hint("shuffle_hash"), "url_hash",
+                                  "left_semi")
+        confirmed_new = needs_check.join(dupes, "url_hash", "left_anti")
         new_urls = definite_new.unionByName(confirmed_new)
         # cached: new_rows feeds four consumers (url_seen append, bloom
         # shard build, frontier union, stats) — without the cache the whole
@@ -714,7 +750,8 @@ class CrawlEngine:
         sids["frontier_updates"] = self._append("frontier_updates", updates_df)
         sids["frontier_archive"] = self._append("frontier_archive",
                                                 archive_rows)
-        sids["url_seen"] = self._append("url_seen", new_rows.select("url_hash"))
+        sids["url_seen"] = self.store.url_seen.append_round(
+            self.spark, new_rows.select("url_hash"), round_no)
         new_hashes = new_rows.select("url_hash")
         sids["bloom_shards"] = self._append(
             "bloom_shards", self._bloom_partials(new_hashes, round_no))
@@ -871,4 +908,5 @@ class CrawlEngine:
                 .orderBy("round", "domain", "seq"))
 
     def seen_hashes(self) -> DataFrame:
-        return self._read("url_seen")
+        return self.store.url_seen.read(
+            self.spark, self._snapshot_ids.get("url_seen"))

@@ -185,11 +185,20 @@ class _TreeBuilder(HTMLParser):
             self._top().append(Node(None, text_data=data))
 
 
-def parse_html(html: str | bytes) -> Node:
-    """Parse HTML into a document Node."""
-    if isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", errors="replace")
+def build_stdlib_tree(html: str) -> Node:
+    """The stdlib tree build — the always-available parity backend."""
     builder = _TreeBuilder()
     builder.feed(html)
     builder.close()
     return builder.root
+
+
+def parse_html(html: str | bytes, backend: str | None = None) -> Node:
+    """Parse HTML into a document Node via the active parser backend
+    (backends.py: selectolax/lxml when importable — the 100-TB hot path —
+    else this module's stdlib builder; same Node contract either way)."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    from .backends import get_parser  # deferred: backends imports Node
+
+    return get_parser(backend)(html)

@@ -129,6 +129,10 @@ def run_scrape_job(
     results = extract_fields_df(
         fetched, cfg.fields, continue_on_error=cfg.continue_on_error
     )
+    # the metrics write, the output write, and the returned DataFrame all
+    # consume `results` — persist so the mapInPandas HTML-extraction stage
+    # (the job's most expensive) materializes exactly once
+    results = results.persist()
     # per-field success/error counters persisted next to the crawl's
     # request_metrics (RecordExtractionSuccess/Error parity — SURVEY §2.4)
     store["extraction_metrics"].overwrite(

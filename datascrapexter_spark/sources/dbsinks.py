@@ -258,7 +258,7 @@ def write_jdbc(df: DataFrame, url: str, table: str = DEFAULT_TABLE,
                batch_size: int = DEFAULT_BATCH_SIZE,
                on_conflict: str = "error", mode: str = "append",
                properties: dict[str, str] | None = None,
-               apply_fn=None) -> None:
+               apply_fn=None, pg_schema: str = "public") -> None:
     """Distributed JDBC write (the PostgreSQL sink's scale path).
 
     on_conflict="error" is the plain INSERT the JDBC writer performs
@@ -289,10 +289,15 @@ def write_jdbc(df: DataFrame, url: str, table: str = DEFAULT_TABLE,
             f"upsert_via_staging in test_sinks)")
     cols = [f.name for f in flat.schema.fields]
     staging = f"{table}_staging"
+    # stage into the SAME schema the apply statement reads from — an
+    # unqualified JDBC write lands wherever the connection's search_path
+    # points, which breaks the apply under a non-default search_path
     (
         flat.write.mode("overwrite")
         .option("batchsize", str(batch_size))
-        .jdbc(url, staging, properties=properties or {})
+        .jdbc(url, f"{quote_ident(pg_schema)}.{quote_ident(staging)}",
+              properties=properties or {})
     )
-    apply_fn(conflict_apply_sql(table, cols, on_conflict, "postgresql"))
-    apply_fn(f'DROP TABLE "public".{quote_ident(staging)}')
+    apply_fn(conflict_apply_sql(table, cols, on_conflict, "postgresql",
+                                pg_schema=pg_schema))
+    apply_fn(f"DROP TABLE {quote_ident(pg_schema)}.{quote_ident(staging)}")

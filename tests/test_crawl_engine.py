@@ -225,9 +225,12 @@ def test_resume_ignores_uncommitted_appends(spark, tmp_path, web):
     # simulate the dead round-3: uncommitted APPENDS on append-only tables
     # (the dangerous case — an overwrite is dropped by time travel, but a
     # naive append would have stacked on top of these)
-    garbage_seen = engine1._read("url_seen").limit(3).withColumn(
+    garbage_seen = engine1.seen_hashes().limit(3).withColumn(
         "url_hash", F.col("url_hash") + 999)
-    engine1.store["url_seen"].append(garbage_seen)
+    # bucketed url_seen: the dead round's hashes land in an uncommitted
+    # round partition; resume must never read it, and the re-run round
+    # must drop it before appending (idempotent write)
+    engine1.store.url_seen.append_round(spark, garbage_seen, round_no=3)
     engine1.store["frontier"].append(
         engine1._read("frontier").limit(2))
     engine1.store["frontier_updates"].append(

@@ -69,8 +69,8 @@ def inject_dead_history(spark, engine, n_dead: int) -> None:
         F.lit(5).alias("priority"), F.lit(0).alias("attempts"),
         F.lit(0).alias("round_added"), F.lit("done").alias("state"))
     sids = dict(engine._snapshot_ids)
-    sids["url_seen"] = engine.store["url_seen"].append(
-        dead.select("url_hash"))
+    sids["url_seen"] = engine.store.url_seen.append_round(
+        spark, dead.select("url_hash"), round_no=0, idempotent=False)
     sids["frontier_archive"] = engine.store["frontier_archive"].append(
         dead_rows)
     sids["bloom_shards"] = engine.store["bloom_shards"].append(
