@@ -321,20 +321,42 @@ def main() -> None:
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     _force(QUERIES["q01_pricing_summary"](spark, sf_dir))
 
-    qtimes: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.monotonic()
-        _force(QUERIES[name](spark, sf_dir))
-        qtimes[name] = round(time.monotonic() - t0, 3)
+    # Settled median-of-N per query (round-3 verdict item #2): this box
+    # has 5-10% time-varying hypervisor steal, so a single pass can show
+    # phantom regressions on untouched operators. Reps ALTERNATE through
+    # the whole query list (q1..qn, q1..qn, ...) so a steal spike taxes
+    # one rep of many queries instead of every rep of one query; the
+    # recorded number is the per-query median, with min/all walls kept so
+    # the artifact itself carries the variance evidence.
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    walls: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(n_reps):
+        _settle()
+        for name in BENCH_QUERIES:
+            t0 = time.monotonic()
+            _force(QUERIES[name](spark, sf_dir))
+            walls[name].append(round(time.monotonic() - t0, 3))
+    qtimes = {name: sorted(ws)[len(ws) // 2] for name, ws in walls.items()}
+    qdetail = {name: {"median": qtimes[name], "min": min(ws),
+                      "n_reps": len(ws), "walls_s": ws}
+               for name, ws in walls.items()}
 
     frontier_bench(spark, sf_dir, mult=2)  # warm-up: JIT + worker spawn
-    fb = frontier_bench(spark, sf_dir)
+    fruns = []
+    for _ in range(n_reps):
+        _settle()
+        fruns.append(frontier_bench(spark, sf_dir))
+    fruns.sort(key=lambda r: r["wall_s"])
+    fb = dict(fruns[len(fruns) // 2])
+    fb["all_walls_s"] = [r["wall_s"] for r in fruns]
+    fb["n_reps"] = n_reps
 
     out = {
         "metric": "urls_scheduled_deduped_per_sec",
         "value": fb["urls_per_sec"],
         "unit": "sec",
         "queries": qtimes,
+        "queries_detail": qdetail,
         "sf": sf_val,
         "cpus": cpus,
         "frontier": fb,

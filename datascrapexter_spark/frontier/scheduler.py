@@ -117,7 +117,8 @@ class CrawlConfig:
     # DOM-dependent pagination (cursor / next_button): when set, the round
     # loop follows ONLY the strategy's next-URL per fetched page (the
     # reference's sequential page loop, engine.go:720-792, per host) instead
-    # of full link extraction. Cursor-repeat state is checkpointed per host
+    # of full link extraction. Cursor-repeat state is checkpointed per
+    # (host, chain) — one entry per strategy instance
     # in the pagination_state table (lastCursor, pagination_strategies.go:
     # 144-149).
     pagination_spec: PaginationSpec | None = None
@@ -304,7 +305,10 @@ class CrawlEngine:
                 "rate_mult double")
         sids["domain_state"] = self.store["domain_state"].overwrite(empty_state)
         sids["pagination_state"] = self.store["pagination_state"].overwrite(
-            self.spark.createDataFrame([], "host string, last_cursor string"))
+            self.spark.createDataFrame(
+                [], "host string, chain_id long, last_cursor string"))
+        sids["pagination_chains"] = self.store["pagination_chains"].overwrite(
+            self.spark.createDataFrame([], "url_hash long, chain_id long"))
         sids["crawl_log"] = self.store["crawl_log"].overwrite(
             self.spark.createDataFrame([], CRAWL_LOG_SCHEMA))
         sids["lineage_metrics"] = self.store["lineage_metrics"].overwrite(
@@ -546,9 +550,9 @@ class CrawlEngine:
 
         # --- out-links -> new frontier candidates ---
         spec = cfg.pagination_spec
-        new_pag_state = None
+        new_pag_state = new_chain_rows = None
         if spec is not None and spec.type in ("cursor", "next_button"):
-            links, new_pag_state = self._pagination_links(
+            links, new_pag_state, new_chain_rows = self._pagination_links(
                 fetched.filter("found").select("url_canon", "html"),
                 spec, round_no)
         else:
@@ -759,6 +763,11 @@ class CrawlEngine:
         if new_pag_state is not None:
             sids["pagination_state"] = self.store["pagination_state"].overwrite(
                 new_pag_state)
+        if new_chain_rows is not None:
+            # chain membership of next-round pages: O(advancing chains)
+            # rows per round, append-only
+            sids["pagination_chains"] = self._append(
+                "pagination_chains", new_chain_rows)
         sids["crawl_log"] = self._append("crawl_log", log)
         sids["lineage_metrics"] = self._append("lineage_metrics", metrics)
         sids["request_metrics"] = self._append("request_metrics",
@@ -814,33 +823,49 @@ class CrawlEngine:
         new_rows.unpersist()
         return stats
 
-    def _pagination_links(self, fetched_pages: DataFrame, spec: PaginationSpec,
-                          round_no: int) -> tuple[DataFrame, DataFrame | None]:
+    def _pagination_links(
+            self, fetched_pages: DataFrame, spec: PaginationSpec,
+            round_no: int
+    ) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
         """DOM-dependent pagination step: one Arrow pass per fetched page
         emits (next_url, cursor) with the reference's exact semantics
         (pagination_strategies.go:95-311 — disabled-button heuristics,
         cursor from selector text/attr, stop on empty cursor / page cap).
 
-        Cursor-repeat protection across rounds (the reference's lastCursor,
-        :144-149) is a broadcast join against the checkpointed per-host
-        pagination_state: a page whose extracted cursor equals the host's
-        previous-round cursor ends its chain. Chains are per HOST (the
-        round loop advances every host one page per round — SURVEY §3.2);
-        for multi-chain hosts the recorded state is the max cursor, a
-        deterministic rule mirrored by the oracle simulator.
+        Cursor-repeat protection across rounds (the reference's PER-
+        STRATEGY-INSTANCE lastCursor, pagination_strategies.go:144-149) is
+        keyed by (host, chain_id) — chain_id is the chain's seed
+        url_hash, carried forward to each next page through the
+        append-only pagination_chains mapping — so two paginated listings
+        on one host never interfere: each chain compares its cursor only
+        against ITS previous cursor. Both joins are broadcast (state is
+        O(live chains), key-width).
 
         Returns (links in (src_url_canon, out_url_canon) shape,
-        new pagination_state or None for next_button)."""
+        new pagination_state, new pagination_chains rows —
+        the latter two None for next_button)."""
         nxt = extract_next_urls_df(fetched_pages, spec, page_num=round_no)
-        new_state = None
+        new_state = new_chains = None
         if spec.type == "cursor":
             prev = self._read("pagination_state")
             if prev is None:
                 prev = self.spark.createDataFrame(
-                    [], "host string, last_cursor string")
+                    [], "host string, chain_id long, last_cursor string")
+            chains = self._read("pagination_chains")
+            if chains is None:
+                chains = self.spark.createDataFrame(
+                    [], "url_hash long, chain_id long")
+            # chain membership: a seed page starts its own chain
+            # (chain_id = its url_hash); next pages inherit via the mapping
             nxt = (
                 nxt.withColumn("host", host_col(F.col("src_url")))
-                .join(F.broadcast(prev), "host", "left")
+                .withColumn("src_hash", F.xxhash64("src_url"))
+                .join(F.broadcast(chains.dropDuplicates(["url_hash"])),
+                      F.col("src_hash") == F.col("url_hash"), "left")
+                .drop("url_hash")
+                .withColumn("chain_id",
+                            F.coalesce("chain_id", F.col("src_hash")))
+                .join(F.broadcast(prev), ["host", "chain_id"], "left")
                 .withColumn(
                     "next_url",
                     F.when(F.col("cursor") == F.coalesce("last_cursor", F.lit("")),
@@ -850,15 +875,21 @@ class CrawlEngine:
             ).cache()
             this_round = (
                 nxt.filter(F.col("cursor") != "")
-                .groupBy("host")
+                .groupBy("host", "chain_id")
                 .agg(F.max("cursor").alias("new_cursor"))
             )
             new_state = (
-                prev.join(this_round, "host", "full")
+                prev.join(this_round, ["host", "chain_id"], "full")
                 .select(
-                    "host",
+                    "host", "chain_id",
                     F.coalesce("new_cursor", "last_cursor").alias("last_cursor"),
                 )
+            )
+            new_chains = (
+                nxt.filter(F.col("next_url").isNotNull())
+                .select(
+                    F.xxhash64(normalize_url_udf("next_url")).alias("url_hash"),
+                    "chain_id")
             )
         links = (
             nxt.filter(F.col("next_url").isNotNull())
@@ -867,7 +898,7 @@ class CrawlEngine:
                 normalize_url_udf("next_url").alias("out_url_canon"),
             )
         )
-        return links, new_state
+        return links, new_state, new_chains
 
     def _domain_delays_df(self) -> DataFrame:
         delays: dict[str, float] = {}

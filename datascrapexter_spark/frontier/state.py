@@ -238,7 +238,8 @@ class StateStore:
     that round from its start — per north_rule, resumable mid-crawl)."""
 
     TABLES = ("frontier", "frontier_updates", "frontier_archive",
-              "bloom_shards", "domain_state", "pagination_state", "crawl_log",
+              "bloom_shards", "domain_state", "pagination_state",
+              "pagination_chains", "crawl_log",
               "lineage_metrics", "request_metrics", "extraction_metrics",
               "round_metrics")
 

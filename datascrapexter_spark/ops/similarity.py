@@ -193,12 +193,15 @@ def ann_topk_lsh_indexed(
 def write_ivf_index(corpus: DataFrame, path: str,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     n_centroids: int = 16,
-                    round_to: int = 6) -> list[list[float]]:
+                    round_to: int = 6, train_iters: int = 2) -> list[list[float]]:
     """Persist the corpus PARTITIONED BY IVF cell (the inverted lists as
     the physical layout); returns the deterministic centroids the caller
     re-derives probes from. A probe reads only n_probe of n_centroids
-    partitions."""
-    cents = pick_centroids(corpus, id_col, vec_col, n_centroids)
+    partitions. Centroids from seeded k-means (train_iters=0: raw pick)."""
+    cents = (train_centroids(corpus, id_col, vec_col, n_centroids,
+                             n_iters=train_iters)
+             if train_iters > 0
+             else pick_centroids(corpus, id_col, vec_col, n_centroids))
     (
         corpus.select(
             F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv")
@@ -255,11 +258,12 @@ def ivf_topk_indexed(
 
 def pick_centroids(corpus: DataFrame, id_col: str, vec_col: str,
                    n_centroids: int) -> list[list[float]]:
-    """Deterministic IVF centroids: the n corpus vectors with the smallest
-    (md5(id), id) — a reproducible sample standing in for k-means (the
-    standard IVF training step; any engine can re-derive the same pick).
-    Centroids are driver-scale BY DESIGN (IVF uses 2^4..2^16 of them) and
-    ship to executors as literals."""
+    """Deterministic IVF centroid INIT: the n corpus vectors with the
+    smallest (md5(id), id) — a reproducible sample any engine can
+    re-derive. Centroids are driver-scale BY DESIGN (IVF uses 2^4..2^16
+    of them) and ship to executors as literals. `train_centroids` refines
+    this pick with seeded Lloyd iterations; a raw sample gives unbalanced
+    cells on clustered embeddings (hot partitions at scale)."""
     rows = (
         corpus.select(
             F.col(id_col).alias("id"),
@@ -271,6 +275,79 @@ def pick_centroids(corpus: DataFrame, id_col: str, vec_col: str,
         .collect()
     )
     return [list(r["v"]) for r in rows]
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Spark F.round / DuckDB round twin (HALF_UP, away from zero) —
+    Python's built-in round is banker's and would diverge on .5 exactly."""
+    import math
+
+    p = 10.0 ** digits
+    return math.copysign(math.floor(abs(x) * p + 0.5), x) / p
+
+
+def train_centroids(corpus: DataFrame, id_col: str, vec_col: str,
+                    n_centroids: int, n_iters: int = 2,
+                    sample_size: int = 256,
+                    round_to: int = 6) -> list[list[float]]:
+    """Deterministic k-means for IVF centroids (the standard IVF training
+    step, seeded): init = `pick_centroids`, then `n_iters` Lloyd
+    iterations over a bounded md5-ordered training sample, run on the
+    DRIVER in a FIXED accumulation order so the result is bit-reproducible
+    (a distributed float sum is order-dependent; the training sample is
+    driver-scale by construction — centroid count × a small multiplier).
+
+    Per iteration: each sample vector joins its nearest centroid by
+    round(cosine, round_to) with ties to the smaller cell — the exact
+    rule `assign_cells_col` applies executor-side — and each centroid
+    becomes the member mean, every component rounded HALF_UP to
+    `round_to` (cross-engine reproducibility: the DuckDB oracle replays
+    the same recurrence in SQL). Empty cells keep their previous
+    centroid. Cosine-identical recall contract of ivf_topk is preserved:
+    at n_probe = n_centroids the probe still covers every cell."""
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            as_double_array(vec_col).alias("v"),
+            F.md5(F.col(id_col).cast("string")).alias("m"),
+        )
+        .orderBy("m", "id")
+        .limit(max(sample_size, n_centroids))
+        .collect()
+    )
+    sample = [list(r["v"]) for r in rows]
+    cents = [list(v) for v in sample[:n_centroids]]
+    if not sample:
+        return cents
+    dim = len(sample[0])
+
+    def _norm(v):
+        return sum(x * x for x in v) ** 0.5
+
+    for _ in range(n_iters):
+        sums = [[0.0] * dim for _ in range(n_centroids)]
+        counts = [0] * n_centroids
+        cnorms = [_norm(c) for c in cents]
+        for v in sample:  # md5 order — fixed accumulation order
+            vn = _norm(v)
+            best_cos, best_cell = -2.0, -1
+            for cell, (c, cn) in enumerate(zip(cents, cnorms)):
+                dot = sum(a * b for a, b in zip(v, c))
+                denom = vn * cn
+                cos = _round_half_up(dot / denom, round_to) if denom else -2.0
+                if cos > best_cos:  # strict: ties keep the smaller cell
+                    best_cos, best_cell = cos, cell
+            if best_cell >= 0:
+                counts[best_cell] += 1
+                s = sums[best_cell]
+                for i, x in enumerate(v):
+                    s[i] += x
+        cents = [
+            [_round_half_up(s[i] / n, round_to) for i in range(dim)]
+            if n else cents[cell]
+            for cell, (s, n) in enumerate(zip(sums, counts))
+        ]
+    return cents
 
 
 def _centroid_array(cents: list[list[float]]) -> Column:
@@ -312,6 +389,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     round_to: int | None = 6,
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors are inverted-listed by
     nearest centroid; each query probes its `n_probe` nearest cells and
@@ -321,9 +399,13 @@ def ivf_topk(
     governed by n_probe/n_centroids. Scale path: persist the corpus
     PARTITIONED BY cell so a probe is a partition-pruned scan + equi-join;
     assignment is a per-row fold over broadcast centroid literals (no
-    shuffle, no cross join).
+    shuffle, no cross join). Centroids: deterministic seeded k-means
+    (`train_centroids`; train_iters=0 falls back to the raw md5 pick).
     """
-    cents = pick_centroids(corpus, id_col, vec_col, n_centroids)
+    cents = (train_centroids(corpus, id_col, vec_col, n_centroids,
+                             n_iters=train_iters)
+             if train_iters > 0
+             else pick_centroids(corpus, id_col, vec_col, n_centroids))
     c = corpus.select(
         F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv")
     ).withColumn("cell", assign_cells_col(F.col("cv"), cents, round_to or 6))

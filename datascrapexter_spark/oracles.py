@@ -247,10 +247,46 @@ SELECT id_a, id_b, round(cos, 6)::DOUBLE AS cos FROM s WHERE cos >= {threshold}
 
 
 def _ivf_sql(k: int = 5, n_queries: int = 10, n_centroids: int = 16,
-             n_probe: int = 4) -> str:
-    """Reproduces similarity.ivf_topk: md5-picked centroids, nearest-cell
-    assignment (cos DESC, cell ASC), n_probe query cells, exact in-cell
-    cosine top-k."""
+             n_probe: int = 4, train_iters: int = 2,
+             sample_size: int = 256) -> str:
+    """Reproduces similarity.ivf_topk: md5-picked centroid INIT refined by
+    `train_iters` deterministic Lloyd iterations over the md5-ordered
+    training sample (similarity.train_centroids — per-iteration: nearest
+    cell by round(cos,6) with ties to the smaller cell, member means
+    rounded to 6, empty cells carry forward), then nearest-cell
+    assignment, n_probe query cells, exact in-cell cosine top-k."""
+    # iteration CTEs c1..cT over init c0 (cell, i, v)
+    iters = []
+    for t in range(1, train_iters + 1):
+        p = t - 1
+        iters.append(f"""
+nc{p} AS (SELECT cell, sqrt(sum(v * v)) AS nrm FROM c{p} GROUP BY cell),
+a{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT s.vec_id, c.cell,
+           row_number() OVER (
+             PARTITION BY s.vec_id
+             ORDER BY round(sum(e.v * c.v)
+                            / (any_value(n.nrm) * any_value(nc.nrm)), 6)
+                        DESC, c.cell ASC) AS rn
+    FROM samp s
+    JOIN e ON e.vec_id = s.vec_id
+    JOIN c{p} c ON c.i = e.i
+    JOIN n ON n.vec_id = s.vec_id
+    JOIN nc{p} nc ON nc.cell = c.cell
+    GROUP BY s.vec_id, c.cell
+  ) WHERE rn = 1
+),
+m{t} AS (
+  SELECT a.cell, e.i, round(avg(e.v), 6) AS v
+  FROM a{t} a JOIN e ON e.vec_id = a.vec_id
+  GROUP BY a.cell, e.i
+),
+c{t} AS (
+  SELECT p.cell, p.i, coalesce(m.v, p.v) AS v
+  FROM c{p} p LEFT JOIN m{t} m ON m.cell = p.cell AND m.i = p.i
+)""".strip())
+    iter_ctes = (",\n" + ",\n".join(iters)) if iters else ""
     return f"""
 WITH {_EMB_EXPLODED},
 cpick AS (
@@ -261,8 +297,18 @@ cpick AS (
     FROM embeddings
   ) WHERE cell < {n_centroids}
 ),
-ce AS (SELECT c.cell, e.i, e.v FROM cpick c JOIN e ON e.vec_id = c.cvid),
+samp AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn
+    FROM embeddings
+  ) WHERE rn <= {max(sample_size, n_centroids)}
+),
 n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+c0 AS (SELECT c.cell, e.i, e.v FROM cpick c JOIN e ON e.vec_id = c.cvid)
+{iter_ctes},
+ce AS (SELECT cell, i, v FROM c{train_iters}),
 nc AS (SELECT cell, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY cell),
 ac AS (
   SELECT a.vec_id, c.cell,

@@ -53,7 +53,11 @@ class CrawlSimulator:
     seen: set[int] = field(default_factory=set)
     domain_state: dict[str, tuple[float, int]] = field(default_factory=dict)
     crawl_log: list[tuple] = field(default_factory=list)
-    pag_state: dict[str, str] = field(default_factory=dict)  # host -> cursor
+    # (host, chain_id) -> last cursor; chain_id = the chain's seed
+    # url_hash, inherited by each next page (per-strategy-instance
+    # lastCursor, pagination_strategies.go:144-149)
+    pag_state: dict[tuple, str] = field(default_factory=dict)
+    chain_of: dict[str, int] = field(default_factory=dict)  # url -> chain
     breaker: dict[str, int] = field(default_factory=dict)    # domain -> fails
     quarantined_until: dict[str, int] = field(default_factory=dict)
     rate_mult: dict[str, float] = field(default_factory=dict)  # strategy mult
@@ -216,8 +220,8 @@ class CrawlSimulator:
             self.frontier[canon] = u
             n_new += 1
 
-        # pagination cursor state: per-host max cursor this round (matches
-        # CrawlEngine._pagination_links' deterministic groupBy-max rule)
+        # pagination cursor state: per-(host, chain) max cursor this round
+        # (matches CrawlEngine._pagination_links' groupBy-max rule)
         self.pag_state.update(round_cursors)
 
         # domain adaptation + breaker state
@@ -257,12 +261,15 @@ class CrawlSimulator:
         spec = self.cfg.pagination_spec
         if spec is not None and spec.type in ("cursor", "next_button"):
             if spec.type == "cursor":
+                chain = self.chain_of.get(u.url_canon, u.url_hash)
                 nxt, cur = cursor_next_url(spec, u.url_canon, html, round_no)
                 if cur != "":
-                    round_cursors[u.host] = max(
-                        round_cursors.get(u.host, ""), cur)
-                if cur == self.pag_state.get(u.host, ""):
-                    nxt = None  # repeated cursor vs previous round -> stop
+                    key = (u.host, chain)
+                    round_cursors[key] = max(round_cursors.get(key, ""), cur)
+                if cur == self.pag_state.get((u.host, chain), ""):
+                    nxt = None  # repeated cursor vs THIS chain's previous
+                if nxt is not None:
+                    self.chain_of[normalize_url(nxt)] = chain
             else:
                 nxt = next_button_next_url(spec, u.url_canon, html, round_no)
             return [normalize_url(nxt)] if nxt is not None else []

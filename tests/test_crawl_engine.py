@@ -318,6 +318,51 @@ def test_cursor_pagination_crawl_matches_oracle(spark, tmp_path):
     ]
 
 
+def test_cursor_two_chains_one_host_do_not_interfere(spark, tmp_path):
+    """Two cursor-paginated listings on ONE host (the reference keeps a
+    lastCursor per strategy INSTANCE, pagination_strategies.go:144-149).
+    Chain /l1 ends at cursor 'z' in round 2; chain /l2 legitimately
+    reaches cursor 'z' in round 2 too — a per-host max-cursor rule would
+    wrongly stop /l2 there (its 'z' equals the host's round-1 state from
+    /l1); per-(host, chain) state lets /l2 continue one more page."""
+    from datascrapexter_spark.frontier.pagination import PaginationSpec
+
+    def page(path_qs, cursor):
+        url = f"https://m.ex.com{path_qs}"
+        cur = f'<div class="next-cursor">{cursor}</div>' if cursor else ""
+        html = f"<html><body><h1>{path_qs}</h1>{cur}</body></html>"
+        return (url, None, html.encode(), "", "en")
+
+    rows = [
+        page("/l1", "z"),
+        page("/l1?cursor=z&limit=10", "z"),        # repeat -> chain 1 ends
+        page("/l2", "b1"),
+        page("/l2?cursor=b1&limit=10", "z"),       # z != b1 -> continue
+        page("/l2?cursor=z&limit=10", "z"),        # repeat -> chain 2 ends
+    ]
+    seeds = [("https://m.ex.com/l1", 5), ("https://m.ex.com/l2", 5)]
+    web = (rows, seeds, {})
+
+    spec = PaginationSpec(type="cursor", cursor_selector=".next-cursor",
+                          limit=10, max_pages=10)
+    cfg = make_cfg(pagination_spec=spec, max_rounds=6)
+    engine, _ = run_spark_crawl(spark, tmp_path, web, cfg)
+
+    sim = CrawlSimulator.from_raw(web[0], web[2], cfg)
+    sim.run(web[1])
+    assert spark_log(engine) == sim.sorted_log()
+    assert {r["url_hash"] for r in engine.seen_hashes().collect()} == sim.seen
+
+    fetched = sorted(row[3] for row in spark_log(engine) if row[6] == "fetched")
+    assert fetched == [
+        "https://m.ex.com/l1",
+        "https://m.ex.com/l1?cursor=z&limit=10",
+        "https://m.ex.com/l2",
+        "https://m.ex.com/l2?cursor=b1&limit=10",
+        "https://m.ex.com/l2?cursor=z&limit=10",   # per-host rule loses this
+    ]
+
+
 def test_next_button_pagination_crawl(spark, tmp_path):
     from datascrapexter_spark.frontier.pagination import PaginationSpec
 
