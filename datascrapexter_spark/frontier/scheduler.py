@@ -18,7 +18,9 @@ and Bloom probe):
     misses re-enqueue with attempts+1 (client.go:311-322 retry semantics,
     deterministic), up to max_attempts;
  5. out-links -> canonicalize -> Bloom prefilter (definitely-new skips
-    the shuffle) -> exact left_anti join vs url_seen -> append frontier;
+    the exact check) -> exact check vs the bucketed-at-rest url_seen
+    (seen ⋉ probe semi, then probe ▷ dupes anti — the seen set is
+    scanned, never exchanged or hash-built) -> append frontier;
  6. checkpoint everything to snapshot tables + commit the round journal
     (crash mid-round resumes from the last committed round).
 
