@@ -157,8 +157,10 @@ def run_arm(spark, n_dead: int, rounds: int, heavy: bool = False) -> dict:
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if a != "--heavy"]
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
     heavy = "--heavy" in sys.argv
+    reps = next((int(a.split("=", 1)[1]) for a in sys.argv
+                 if a.startswith("--reps=")), 1)
     n_dead = int(argv[0]) if len(argv) > 0 else 2_000_000
     mult = int(argv[1]) if len(argv) > 1 else 4
     rounds = int(argv[2]) if len(argv) > 2 else 8
@@ -168,12 +170,25 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # warm-up arm (JIT, Python workers) — discarded
     run_arm(spark, N_HOSTS * 100, 3, heavy=heavy)
-    arms = {}
-    for nd in (n_dead, n_dead * mult):
-        arms[f"{nd}"] = run_arm(spark, nd, rounds, heavy=heavy)
+    # --reps=R: alternate (1x, 4x) pairs so hypervisor-steal drift over
+    # the session taxes both arms equally instead of whichever ran last;
+    # per-arm stat = median over ALL reps' steady rounds pooled
+    pooled: dict[int, list[int]] = {n_dead: [], n_dead * mult: []}
+    arms: dict[str, dict] = {}
+    for _ in range(reps):
+        for nd in (n_dead, n_dead * mult):
+            r = run_arm(spark, nd, rounds, heavy=heavy)
+            pooled[nd].extend(r["per_round_wall_ms"][1:])
+            arms.setdefault(f"{nd}", {"n_dead": nd,
+                                      "per_round_wall_ms": []})
+            arms[f"{nd}"]["per_round_wall_ms"].extend(
+                r["per_round_wall_ms"])
+    for nd, walls in pooled.items():
+        arms[f"{nd}"]["median_wall_ms"] = statistics.median(walls)
     small, big = arms[f"{n_dead}"], arms[f"{n_dead * mult}"]
     print(json.dumps({
         "mode": "link_heavy" if heavy else "quiet",
+        "reps": reps,
         "arms": arms,
         "wall_ratio_4x_vs_1x": round(
             big["median_wall_ms"] / small["median_wall_ms"], 3),
