@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "q23_embedding_neardup_lsh",
     "q24_enrichment",
     "q29_jsonld_extraction",
+    "q35_dedup_clusters",
+    "q36_c4_line_filter",
 ]
 
 URL_MULT = int(os.environ.get("SPARK_GRAFT_URL_MULT", "10"))

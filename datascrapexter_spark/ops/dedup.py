@@ -507,3 +507,77 @@ def embedding_neardup_pairs_lsh(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def connected_components(nodes: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id", a_col: str = "id_a",
+                         b_col: str = "id_b",
+                         max_iters: int = 50) -> DataFrame:
+    """Near-dup CLUSTER RESOLUTION: connected components over a pair
+    graph -> (id_col, cluster_id) with cluster_id = the smallest node id
+    in the component. The training-pipeline step after any pair-producing
+    dedup (minhash/simhash/embedding LSH): collapse each duplicate
+    cluster to one representative (doc_id == cluster_id).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels); converges in O(graph
+    diameter) rounds. Near-dup graphs are shallow (LSH bands emit
+    clique-ish clusters), so 2-4 rounds is typical. Per round: one
+    key-width groupBy shuffle + one key-width join — no document
+    payloads move, so the loop costs O(|pairs|) per round at any corpus
+    size. Labels and the static symmetric edge set are
+    localCheckpoint'ed: the loop would otherwise double the lineage
+    every round and re-execute the whole pair pipeline per iteration.
+    (For adversarially deep graphs — long chains — swap the propagation
+    for large-star/small-star [Kiveris et al., "Connected Components in
+    MapReduce and Beyond"], same contract; duplicate clusters never need
+    it.) Deterministic: min over longs.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        nodes.select(F.col(id_col).alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst").agg(F.min("label").alias("nbr_min"))
+        )
+        upd = (
+            labels.join(nbr, labels["node"] == nbr["dst"], "left")
+            .select(
+                "node", "label",
+                F.least(F.col("label"),
+                        F.coalesce("nbr_min", F.col("label")))
+                .alias("new_label"))
+            .localCheckpoint(eager=True)
+        )
+        n_changed = upd.filter(F.col("new_label") != F.col("label")).count()
+        labels = upd.select("node", F.col("new_label").alias("label"))
+        if n_changed == 0:
+            return labels.select(F.col("node").alias(id_col),
+                                 F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        f"(graph diameter exceeds the cap — use the star variant)")
+
+
+def dedup_representatives(docs: DataFrame, pairs: DataFrame,
+                          id_col: str = "doc_id",
+                          a_col: str = "id_a",
+                          b_col: str = "id_b") -> DataFrame:
+    """Keep one document per near-dup cluster: docs ▷ components where
+    doc_id != cluster_id (broadcast-friendly — the non-representative set
+    is pair-bounded, far smaller than the corpus)."""
+    comp = connected_components(docs.select(id_col), pairs, id_col,
+                                a_col, b_col)
+    losers = comp.filter(F.col(id_col) != F.col("cluster_id")) \
+                 .select(id_col)
+    return docs.join(losers, id_col, "left_anti")

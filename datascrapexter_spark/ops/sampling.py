@@ -1,0 +1,80 @@
+"""Deterministic sampling & split assignment for training-data mixes.
+
+A 100-TB pipeline can't use rand()-based sampling: retries, resumes, and
+cross-engine verification all need the SAME rows picked every run. These
+operators key every decision on a content hash of a stable key column —
+the same md5-slice arithmetic the dedup family uses, so DuckDB (and any
+other engine) reproduces the exact row set bit-for-bit:
+
+    u(key) = int(md5(key || '#' || seed)[0:8], 16) / 2^32   in [0, 1)
+
+- `deterministic_sample`: keep rows with u < rate (a fixed-rate Bernoulli
+  sample that is stable under re-runs and unions);
+- `stratified_sample`: per-stratum rates (e.g. downsample dominant
+  languages, keep the tail whole — the standard training-mix rebalance);
+- `split_col`: disjoint train/val/test assignment from the same u, so a
+  document can never migrate between splits when the corpus grows (new
+  rows hash independently; old rows keep their split).
+
+All pure codegen — no shuffle, no Python; the predicate pushes into the
+scan stage. Sampling noise: u is a 32-bit slice, so rates are exact to
+~2.3e-10 — far below any training-mix tolerance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_U32 = float(1 << 32)
+
+
+def hash_unit_col(key: Column | str, seed: int = 0) -> Column:
+    """u(key) in [0, 1): the first 32 bits of md5(key || '#' || seed).
+    md5 (not xxhash64) so every engine in the verification loop computes
+    the identical value (DuckDB twin:
+    ('0x' || substr(md5(key || '#seed'), 1, 8))::BIGINT / 2^32)."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(F.substring(F.md5(F.concat(c.cast("string"),
+                                          F.lit(f"#{seed}"))), 1, 8),
+               16, 10).cast("long")
+    return h / F.lit(_U32)
+
+
+def deterministic_sample(df: DataFrame, rate: float, key_col: str,
+                         seed: int = 0) -> DataFrame:
+    """Stable Bernoulli sample: keep rows with u(key) < rate."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(hash_unit_col(key_col, seed) < rate)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      rates: dict[str, float], key_col: str,
+                      default_rate: float = 1.0,
+                      seed: int = 0) -> DataFrame:
+    """Per-stratum stable sampling: row kept iff u(key) < rate(stratum).
+    `rates` maps stratum value -> keep rate; unlisted strata keep
+    `default_rate` (1.0 = keep whole — the long-tail default of a
+    language-rebalance mix)."""
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(float(r))) \
+                .otherwise(rate)
+    return df.filter(hash_unit_col(key_col, seed) < rate)
+
+
+def split_col(key: Column | str, val_frac: float = 0.01,
+              test_frac: float = 0.01, seed: int = 0) -> Column:
+    """Disjoint train/val/test label from u(key): val = [0, val_frac),
+    test = [val_frac, val_frac+test_frac), train = the rest. Stable under
+    corpus growth — a row's label depends only on its own key."""
+    if val_frac < 0 or test_frac < 0 or val_frac + test_frac > 1:
+        raise ValueError("need val_frac, test_frac >= 0 summing to <= 1")
+    u = hash_unit_col(key, seed)
+    return (F.when(u < val_frac, F.lit("val"))
+            .when(u < val_frac + test_frac, F.lit("test"))
+            .otherwise(F.lit("train")))

@@ -178,3 +178,53 @@ def repetition_columns(text: Column | str, round_to: int = 6) -> dict[str, Colum
         "dup_bigram_ratio": F.round(dup_bigram, round_to).cast("double"),
         "dup_line_ratio": F.round(dup_line, round_to).cast("double"),
     }
+
+
+# -- C4-style line-level cleaning (Raffel et al. 2020, §2.2 heuristics) ----
+
+C4_FORBIDDEN = ("lorem ipsum", "{")
+C4_LINE_DROP_WORD = "javascript"
+
+
+def c4_keep_line_col(line: Column, min_words: int = 3) -> Column:
+    """The C4 line-keep predicate: a trimmed line survives iff it ends in
+    terminal punctuation (. ! ? \"), has at least `min_words`
+    whitespace-separated words, and does not mention 'javascript'.
+    Pure codegen — evaluated per array element inside F.filter."""
+    t = F.trim(line)
+    return (
+        t.rlike('[.!?"]$')
+        & (F.size(F.split(t, " +")) >= min_words)
+        & ~F.contains(F.lower(t), F.lit(C4_LINE_DROP_WORD))
+    )
+
+
+def c4_clean_cols(text: Column | str, min_words: int = 3,
+                  forbidden: tuple[str, ...] = C4_FORBIDDEN) -> dict[str, Column]:
+    """C4 page cleaning as columns over a newline-separated text:
+
+      - doc_dropped: page contains any `forbidden` marker (lowercased) —
+        C4 discards the whole page ('lorem ipsum' placeholder text, '{'
+        as a code tell);
+      - n_lines / n_kept_lines: before/after the line-keep predicate;
+      - cleaned_text: surviving lines rejoined (NULL for dropped pages).
+
+    Everything is built-in HOFs (split/filter/array_join) — zero Python,
+    zero shuffle; at 100 TB this runs inside the scan's codegen stage.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    low = F.lower(c)
+    dropped = None
+    for marker in forbidden:
+        cond = F.contains(low, F.lit(marker))
+        dropped = cond if dropped is None else (dropped | cond)
+    dropped = F.coalesce(dropped, F.lit(False))
+    lines = F.split(c, "\n")
+    kept = F.filter(lines, lambda l: c4_keep_line_col(l, min_words))
+    return {
+        "doc_dropped": dropped,
+        "n_lines": F.size(lines),
+        "n_kept_lines": F.when(dropped, F.lit(0)).otherwise(F.size(kept)),
+        "cleaned_text": F.when(dropped, F.lit(None).cast("string"))
+                         .otherwise(F.array_join(kept, "\n")),
+    }

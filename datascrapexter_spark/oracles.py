@@ -35,7 +35,10 @@ sh AS (
 )""".replace("{t}", "\t").replace("{n}", "\n").replace("{r}", "\r")
 
 
-def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+def _minhash_pair_ctes(num_hashes: int = 16, bands: int = 4) -> str:
+    """Shared CTE chain (aug ... j) producing minhash-LSH verified pair
+    rows — composed by both the q14 pair query and the q35 cluster
+    oracle."""
     rows = num_hashes // bands
     # 4 x 32-bit slices per digest — must mirror dedup.minhash_signature
     mins = ", ".join(
@@ -49,8 +52,7 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -
         )
         for j in range(bands)
     )
-    return f"""
-WITH aug AS ({_AUG}),
+    return f"""aug AS ({_AUG}),
 {_SHINGLES},
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS ({band_selects}),
@@ -73,8 +75,35 @@ j AS (
   FROM ov
   JOIN sizes na ON na.doc_id = ov.id_a
   JOIN sizes nb ON nb.doc_id = ov.id_b
-)
+)"""
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.5) -> str:
+    return f"""
+WITH {_minhash_pair_ctes(num_hashes, bands)}
 SELECT id_a, id_b, round(jac, 6)::DOUBLE AS jaccard FROM j WHERE jac >= {threshold}
+"""
+
+
+def _dedup_clusters_sql(num_hashes: int = 16, bands: int = 4,
+                        threshold: float = 0.5) -> str:
+    """Reproduces dedup.connected_components over the q14 minhash pair
+    graph: cluster_id = min doc_id reachable (recursive closure; the
+    Spark side converges to the same fixpoint by min-label propagation)."""
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes(num_hashes, bands)},
+p AS (SELECT id_a, id_b FROM j WHERE jac >= {threshold}),
+edges AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM aug
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+),
+comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
+SELECT doc_id, cluster_id,
+       (doc_id = cluster_id) AS is_representative
+FROM comp
 """
 
 
@@ -357,6 +386,79 @@ SELECT qid, cid, cos, rank FROM r WHERE rank <= {k}
 """
 
 
+# Reproduces queries.q36_c4_line_filter + textstats.c4_clean_cols:
+# deterministic 8-token lines with seeded punctuation, lorem-injected
+# pages, then the C4 line-keep predicate (terminal punct, >=3 words, no
+# 'javascript') and whole-page forbidden-marker drop.
+_C4_LINE_FILTER_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), ' +') AS toks
+  FROM documents
+),
+g AS (SELECT doc_id, toks, cast(ceil(len(toks) / 8.0) AS INT) AS ng FROM t),
+l AS (
+  SELECT doc_id,
+         list_transform(range(0, ng), i ->
+           array_to_string(toks[i*8+1 : i*8+8], ' ') ||
+           CASE WHEN (doc_id + i) % 4 = 0 THEN '' ELSE '.' END) AS lines
+  FROM g
+),
+ml AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 50 = 0
+              THEN array_to_string(lines, chr(10)) || chr(10)
+                   || 'lorem ipsum filler {'
+              ELSE array_to_string(lines, chr(10)) END AS text_ml
+  FROM l
+),
+res AS (
+  SELECT doc_id,
+         (contains(lower(text_ml), 'lorem ipsum')
+          OR contains(lower(text_ml), '{')) AS doc_dropped,
+         string_split(text_ml, chr(10)) AS all_lines,
+         list_filter(string_split(text_ml, chr(10)), x ->
+           regexp_matches(trim(x), '[.!?"]$')
+           AND len(regexp_split_to_array(trim(x), ' +')) >= 3
+           AND NOT contains(lower(trim(x)), 'javascript')) AS kept
+  FROM ml
+)
+SELECT doc_id, doc_dropped,
+       len(all_lines)::INT AS n_lines,
+       (CASE WHEN doc_dropped THEN 0 ELSE len(kept) END)::INT
+         AS n_kept_lines,
+       CASE WHEN doc_dropped THEN NULL
+            -- coalesce: DuckDB's array_to_string of an empty list is
+            -- NULL; Spark's array_join is '' — a zero-kept-lines page is
+            -- an empty (not null) cleaned text
+            ELSE coalesce(array_to_string(kept, chr(10)), '') END
+         AS cleaned_text
+FROM res
+"""
+
+
+# Reproduces queries.q37_stratified_split + ops.sampling: u(key, seed) =
+# first 32 md5 bits of 'key#seed' as a unit float; per-lang keep rates;
+# disjoint split thresholds on an independent seed.
+_STRATIFIED_SPLIT_SQL = """
+WITH u AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#1'), 1, 8))::BIGINT
+           / 4294967296.0 AS u_sample,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#2'), 1, 8))::BIGINT
+           / 4294967296.0 AS u_split
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN u_split < 0.05 THEN 'val'
+            WHEN u_split < 0.10 THEN 'test'
+            ELSE 'train' END AS split
+FROM u
+WHERE u_sample < CASE lang WHEN 'en' THEN 0.5
+                           WHEN 'zh' THEN 0.25
+                           ELSE 1.0 END
+"""
+
+
 _REPETITION_SQL = r"""
 WITH t AS (
   SELECT doc_id, text,
@@ -578,6 +680,9 @@ r AS (
 SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
 """,
     "q14_minhash_lsh": _minhash_sql(16, 4, 0.5),
+    "q35_dedup_clusters": _dedup_clusters_sql(16, 4, 0.5),
+    "q36_c4_line_filter": _C4_LINE_FILTER_SQL,
+    "q37_stratified_split": _STRATIFIED_SPLIT_SQL,
     "q15_ngram_jaccard": _ngram_jaccard_sql(0.6),
     "q16_simhash": _simhash_sql(32, 3),
     "q17_embedding_topk": _cosine_topk_sql(5, 10),

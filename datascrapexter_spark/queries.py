@@ -317,6 +317,70 @@ def q14_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q35_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the q14
+    minhash-LSH pair graph — every doc labeled with its cluster's min
+    doc_id, representatives flagged (the keep-one-per-cluster step of a
+    training-data dedup pipeline)."""
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        aug, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    comp = dedup.connected_components(
+        aug.select("doc_id"), pairs, id_col="doc_id")
+    return comp.select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"))
+
+
+def q36_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2) over a
+    deterministic multi-line rendering of the documents corpus: tokens
+    grouped 8-per-line, every (doc_id+i)%4==0 line left unpunctuated
+    (fails the terminal-punct rule), every doc_id%50==0 page injected
+    with the 'lorem ipsum'/'{' markers (whole-page drop)."""
+    from .ops.textstats import c4_clean_cols
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), " +")
+    ng = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), ng - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+            F.when((F.col("doc_id") + i) % 4 == 0, F.lit(""))
+            .otherwise(F.lit("."))))
+    joined = F.array_join(lines, "\n")
+    text_ml = F.when(
+        F.col("doc_id") % 50 == 0,
+        F.concat(joined, F.lit("\nlorem ipsum filler {"))).otherwise(joined)
+    ml = docs.select("doc_id", text_ml.alias("text_ml"))
+    cols = c4_clean_cols(F.col("text_ml"), min_words=3)
+    return ml.select(
+        "doc_id",
+        cols["doc_dropped"].alias("doc_dropped"),
+        cols["n_lines"].alias("n_lines"),
+        cols["n_kept_lines"].alias("n_kept_lines"),
+        cols["cleaned_text"].alias("cleaned_text"),
+    )
+
+
+def q37_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix rebalance + split assignment: documents
+    sampled per language (en halved, zh quartered, long tail kept whole)
+    and labeled train/val/test — every decision a pure content-hash
+    function of doc_id, bit-reproducible in any engine."""
+    from .ops.sampling import split_col, stratified_sample
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = stratified_sample(docs, "lang", {"en": 0.5, "zh": 0.25},
+                             key_col="doc_id", seed=1)
+    return kept.select(
+        "doc_id", "lang",
+        split_col("doc_id", val_frac=0.05, test_frac=0.05, seed=2)
+        .alias("split"))
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -795,5 +859,8 @@ QUERIES = {
     "q32_microdata_extraction": q32_microdata_extraction,
     "q33_rdfa_extraction": q33_rdfa_extraction,
     "q34_media_extraction": q34_media_extraction,
+    "q35_dedup_clusters": q35_dedup_clusters,
+    "q36_c4_line_filter": q36_c4_line_filter,
+    "q37_stratified_split": q37_stratified_split,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

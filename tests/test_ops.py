@@ -514,3 +514,33 @@ def test_indexed_ann_partition_pruned(spark, tmp_path):
     plan2 = ivf_idx._jdf.queryExecution().executedPlan().toString()
     m2 = re.search(r"PartitionFilters: \[([^\]]*)\]", plan2)
     assert m2 and "cell" in m2.group(1)
+
+
+def test_connected_components_chain_and_isolates(spark):
+    """Min-label propagation: a 4-node chain collapses to its min id in
+    O(diameter) rounds; isolated nodes are their own cluster; symmetric
+    input edges are not required (pairs are symmetrized internally)."""
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # chain 3-1-5-2 (min 1), pair (4,6) (min 4), isolate 0
+    pairs = spark.createDataFrame(
+        [(3, 1), (1, 5), (5, 2), (4, 6)], "id_a long, id_b long")
+    comp = {r["doc_id"]: r["cluster_id"]
+            for r in dedup.connected_components(nodes, pairs).collect()}
+    assert comp == {0: 0, 1: 1, 3: 1, 5: 1, 2: 1, 4: 4, 6: 4}
+
+    reps = sorted(
+        r["doc_id"] for r in dedup.dedup_representatives(
+            nodes, pairs).collect())
+    assert reps == [0, 1, 4]
+
+
+def test_connected_components_deterministic_and_caps(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5)], "id_a long, id_b long")
+    a = sorted(map(tuple, dedup.connected_components(nodes, pairs).collect()))
+    b = sorted(map(tuple, dedup.connected_components(nodes, pairs).collect()))
+    assert a == b == [(i, 0) for i in range(6)]
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(nodes, pairs, max_iters=1)

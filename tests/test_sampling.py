@@ -1,0 +1,100 @@
+"""Deterministic sampling / split assignment (ops/sampling.py) and
+C4-style line cleaning (ops/textstats.c4_clean_cols) — semantics tests;
+cross-engine exactness is gated by q36/q37 in the oracle compare."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from datascrapexter_spark.ops.sampling import (
+    deterministic_sample,
+    hash_unit_col,
+    split_col,
+    stratified_sample,
+)
+from datascrapexter_spark.ops.textstats import c4_clean_cols
+
+
+def _py_u(key, seed):
+    return int(hashlib.md5(f"{key}#{seed}".encode()).hexdigest()[:8], 16) / 2**32
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, "en" if i % 3 == 0 else "de") for i in range(3000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_hash_unit_matches_python_twin(spark, docs):
+    got = docs.limit(20).select(
+        "doc_id", hash_unit_col("doc_id", seed=7).alias("u")).collect()
+    for r in got:
+        assert r["u"] == pytest.approx(_py_u(r["doc_id"], 7), abs=1e-12)
+
+
+def test_deterministic_sample_stable_and_rate(spark, docs):
+    a = {r["doc_id"] for r in
+         deterministic_sample(docs, 0.3, "doc_id", seed=1).collect()}
+    b = {r["doc_id"] for r in
+         deterministic_sample(docs, 0.3, "doc_id", seed=1).collect()}
+    assert a == b                       # re-run identical
+    assert 0.25 < len(a) / 3000 < 0.35  # rate honored
+    # monotone: a lower rate is a SUBSET (same u, smaller threshold)
+    sub = {r["doc_id"] for r in
+           deterministic_sample(docs, 0.1, "doc_id", seed=1).collect()}
+    assert sub <= a
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, 1.5, "doc_id")
+
+
+def test_stratified_rates_per_stratum(spark, docs):
+    kept = stratified_sample(docs, "lang", {"en": 0.2}, "doc_id", seed=3)
+    counts = {r["lang"]: r["n"] for r in
+              kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    n_en, n_de = 1000, 2000
+    assert 0.14 < counts["en"] / n_en < 0.26      # sampled stratum
+    assert counts["de"] == n_de                   # default_rate=1 keeps all
+
+
+def test_split_disjoint_and_growth_stable(spark, docs):
+    lab = docs.select("doc_id", split_col("doc_id", 0.1, 0.1, seed=5)
+                      .alias("split"))
+    counts = {r["split"]: r["n"] for r in
+              lab.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["val"] / 3000 - 0.1) < 0.04
+    # growth stability: the first 1000 docs get the SAME labels whether
+    # or not the other 2000 exist
+    small = {r["doc_id"]: r["split"] for r in
+             docs.filter("doc_id < 1000").select(
+                 "doc_id", split_col("doc_id", 0.1, 0.1, seed=5)
+                 .alias("split")).collect()}
+    full = {r["doc_id"]: r["split"] for r in lab.collect()}
+    assert all(full[k] == v for k, v in small.items())
+    with pytest.raises(ValueError):
+        split_col("doc_id", 0.6, 0.6)
+
+
+def test_c4_clean_cols_rules(spark):
+    text = ("Good line with enough words.\n"
+            "short.\n"                          # < 3 words
+            "no terminal punctuation here\n"    # no punct
+            "Uses javascript for menus.\n"      # forbidden word
+            'He said "stop".\n'
+            "Another proper sentence here!")
+    df = spark.createDataFrame([(1, text), (2, "lorem ipsum rest fine.")],
+                               "doc_id long, text string")
+    cols = c4_clean_cols(F.col("text"))
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in cols.items()]).collect()}
+    ok = out[1]
+    assert not ok["doc_dropped"] and ok["n_lines"] == 6
+    assert ok["n_kept_lines"] == 3
+    assert ok["cleaned_text"].splitlines() == [
+        "Good line with enough words.",
+        'He said "stop".',
+        "Another proper sentence here!"]
+    bad = out[2]
+    assert bad["doc_dropped"] and bad["n_kept_lines"] == 0
+    assert bad["cleaned_text"] is None
