@@ -459,6 +459,71 @@ WHERE u_sample < CASE lang WHEN 'en' THEN 0.5
 """
 
 
+def _pii_scrub_sql() -> str:
+    """Reproduces queries.q38_pii_scrub: same injected PII, same
+    PII_PATTERNS (RE2-compatible by construction) replayed with global
+    regexp_replace in the same order."""
+    from .ops.pii import PII_PATTERNS
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::INT AS n_{kind}"
+        for kind, pat, _ in PII_PATTERNS
+    )
+    scrub = "t"
+    for _, pat, token in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{token}', 'g')"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id::VARCHAR
+                      || '@example.com now' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 192.168.' || (doc_id % 256)::VARCHAR || '.7'
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call +1555010'
+                      || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                 ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id, {counts}, {scrub} AS scrubbed FROM d
+"""
+
+
+_PARAGRAPH_DEDUP_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter([
+             substr(text, 1, 120),
+             substr(text, 121, 100000),
+             CASE WHEN doc_id % 4 = 0
+                  THEN 'subscribe to our newsletter for updates' END,
+             CASE WHEN doc_id % 6 = 0
+                  THEN 'all rights reserved copyright notice' END
+         ], p -> p IS NOT NULL AND p <> '') AS paras
+  FROM documents
+),
+e AS (
+  SELECT doc_id, len(paras)::INT AS n_paras,
+         unnest(paras) AS para,
+         unnest(range(len(paras)))::INT AS pos
+  FROM d
+),
+k AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(para)
+                               ORDER BY doc_id, pos) AS rn
+  FROM e
+)
+SELECT doc_id, any_value(n_paras) AS n_paras,
+       count(*)::BIGINT AS n_kept,
+       string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+FROM k WHERE rn = 1
+GROUP BY doc_id
+"""
+
+
 _REPETITION_SQL = r"""
 WITH t AS (
   SELECT doc_id, text,
@@ -683,6 +748,8 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q35_dedup_clusters": _dedup_clusters_sql(16, 4, 0.5),
     "q36_c4_line_filter": _C4_LINE_FILTER_SQL,
     "q37_stratified_split": _STRATIFIED_SPLIT_SQL,
+    "q38_pii_scrub": _pii_scrub_sql(),
+    "q39_paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
     "q15_ngram_jaccard": _ngram_jaccard_sql(0.6),
     "q16_simhash": _simhash_sql(32, 3),
     "q17_embedding_topk": _cosine_topk_sql(5, 10),

@@ -381,6 +381,63 @@ def q37_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"))
 
 
+def q38_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (ops/pii.py) over documents with
+    deterministically injected emails / IPv4s / phone numbers (the base
+    corpus is synthetic and PII-free, so the query plants them — every
+    doc_id%3 gets an email, %5 an IP, %7 a phone)."""
+    from .ops.pii import pii_count_cols, scrub_col
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" from 192.168."),
+                        (F.col("doc_id") % 256).cast("string"),
+                        F.lit(".7"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" call +1555010"),
+                        F.lpad((F.col("doc_id") % 1000).cast("string"),
+                               3, "0"))).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", injected.alias("t"))
+    counts = pii_count_cols(F.col("t"))
+    return d.select(
+        "doc_id",
+        *[v.alias(k) for k, v in counts.items()],
+        scrub_col(F.col("t")).alias("scrubbed"),
+    )
+
+
+def q39_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global paragraph-level exact dedup (ops/dedup.paragraph_dedup).
+
+    The synthetic corpus is single-line, so the query builds paragraphs
+    deterministically: two text slices plus injected cross-document
+    boilerplate (every doc_id%4 gets a newsletter line, %6 a copyright
+    line) — the boilerplate survives only in the lowest doc_id that
+    carries it, exactly what paragraph dedup exists to do.
+    """
+    from .ops.dedup import paragraph_dedup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = F.array(
+        F.substring("text", 1, 120),
+        F.substring("text", 121, 100000),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("subscribe to our newsletter for updates")),
+        F.when(F.col("doc_id") % 6 == 0,
+               F.lit("all rights reserved copyright notice")),
+    )
+    paras = F.filter(raw, lambda p: p.isNotNull() & (p != ""))
+    d = docs.select("doc_id", paras.alias("paras"))
+    return paragraph_dedup(d)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -862,5 +919,7 @@ QUERIES = {
     "q35_dedup_clusters": q35_dedup_clusters,
     "q36_c4_line_filter": q36_c4_line_filter,
     "q37_stratified_split": q37_stratified_split,
+    "q38_pii_scrub": q38_pii_scrub,
+    "q39_paragraph_dedup": q39_paragraph_dedup,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

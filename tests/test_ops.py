@@ -544,3 +544,31 @@ def test_connected_components_deterministic_and_caps(spark):
     import pytest as _pt
     with _pt.raises(RuntimeError, match="did not converge"):
         dedup.connected_components(nodes, pairs, max_iters=1)
+
+
+def test_paragraph_dedup_keep_first_and_reassembly(spark):
+    rows = [
+        (1, ["alpha one", "boiler", "beta two"]),
+        (2, ["boiler", "gamma three", "boiler"]),   # cross-doc + in-doc dup
+        (3, ["boiler"]),                            # fully deduped -> drops
+        (4, ["delta four", "boiler", "delta four"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, paras array<string>")
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(df).collect()}
+    assert set(out) == {1, 2, 4}                    # doc 3 dropped entirely
+    assert out[1]["text"] == "alpha one\n\nboiler\n\nbeta two"
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (3, 3)
+    # doc 2: 'boiler' already seen in doc 1; in-doc second copy also gone
+    assert out[2]["text"] == "gamma three"
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (3, 1)
+    # doc 4: keep-first within the doc, order preserved
+    assert out[4]["text"] == "delta four"
+    assert (out[4]["n_paras"], out[4]["n_kept"]) == (3, 1)
+
+
+def test_split_paragraphs_col(spark):
+    df = spark.createDataFrame(
+        [("a b\n\nc d\n\n\n  \n\ne f",), ("   ",)], "t string")
+    got = df.select(dedup.split_paragraphs_col("t").alias("p")).collect()
+    assert got[0]["p"] == ["a b", "c d", "e f"]
+    assert got[1]["p"] == []

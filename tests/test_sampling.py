@@ -98,3 +98,25 @@ def test_c4_clean_cols_rules(spark):
     bad = out[2]
     assert bad["doc_dropped"] and bad["n_kept_lines"] == 0
     assert bad["cleaned_text"] is None
+
+
+def test_pii_scrub_and_counts(spark):
+    from datascrapexter_spark.ops.pii import pii_count_cols, scrub_col
+
+    rows = [
+        (1, "mail a.b+c@sub.example.org or x@y.io, server 10.0.255.1, "
+            "call +44 20 7946 0958 now"),
+        (2, "no pii here, just 1234 and version 1.2 and name@ invalid"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    counts = pii_count_cols(F.col("text"))
+    out = {r["id"]: r for r in df.select(
+        "id", *[v.alias(k) for k, v in counts.items()],
+        scrub_col(F.col("text")).alias("s")).collect()}
+    a = out[1]
+    assert (a["n_email"], a["n_ipv4"], a["n_phone"]) == (2, 1, 1)
+    assert a["s"] == ("mail <EMAIL> or <EMAIL>, server <IP>, "
+                      "call <PHONE> now")
+    b = out[2]
+    assert (b["n_email"], b["n_ipv4"], b["n_phone"]) == (0, 0, 0)
+    assert b["s"] == rows[1][1]
