@@ -634,3 +634,46 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
             sep,
         ).alias("text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+
+def contamination_flags(docs: DataFrame, benchmark: DataFrame,
+                        n: int = 8, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        bench_text_col: str = "text",
+                        broadcast_benchmark: bool = True) -> DataFrame:
+    """Flag training documents sharing any word n-gram with a benchmark
+    corpus — the standard eval-decontamination pass (long-n-gram overlap
+    between a training doc and an eval set means the doc leaks the
+    benchmark and must be dropped).
+
+    Scale: the benchmark side is tiny relative to the corpus (MBs of eval
+    text vs TBs of training text), so its distinct shingle set broadcasts
+    (default) and the corpus-side shingles are probed WITHOUT a shuffle;
+    set broadcast_benchmark=False to fall back to a keyed equi-join when
+    the benchmark is genuinely large. The per-doc hit count is a groupBy
+    over hit rows only (bounded by contamination, not corpus size), and
+    the final enrich join is AQE-broadcastable for the same reason.
+
+    Returns (id, n_shingles, n_contaminated, contaminated).
+    """
+    d_shingles = F.array_distinct(shingles_col(text_col, n))
+    d_sh = docs.select(F.col(id_col),
+                       F.explode(d_shingles).alias("shingle"))
+    b_sh = benchmark.select(
+        F.explode(F.array_distinct(shingles_col(bench_text_col, n)))
+        .alias("shingle")).distinct()
+    if broadcast_benchmark:
+        b_sh = F.broadcast(b_sh)
+    hits = (d_sh.join(b_sh, "shingle", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_contaminated")))
+    stats = docs.select(F.col(id_col), F.size(d_shingles).alias("n_shingles"))
+    return (stats.join(hits, id_col, "left")
+            .withColumn("n_contaminated",
+                        F.coalesce(F.col("n_contaminated"), F.lit(0)))
+            .withColumn("contaminated", F.col("n_contaminated") > 0))

@@ -78,3 +78,32 @@ def split_col(key: Column | str, val_frac: float = 0.01,
     return (F.when(u < val_frac, F.lit("val"))
             .when(u < val_frac + test_frac, F.lit("test"))
             .otherwise(F.lit("train")))
+
+
+def shuffle_shards(df: DataFrame, key_col: str, n_shards: int,
+                   seed: int = 0) -> DataFrame:
+    """Deterministic global training shuffle + shard assignment.
+
+    Training ingestion wants the corpus in pseudo-random order, cut into a
+    fixed number of shards, reproducibly across re-runs, resumes, and
+    engines: shard = floor(u * n) and seq = the row's rank by u within its
+    shard — the content hash IS the shuffle, so the full (shard, seq)
+    layout is a pure function of the keys.
+
+    Scale: one keyed shuffle on shard plus an independent per-shard sort —
+    no global sort, no range exchange, no driver. Shards are hash-balanced
+    (u is uniform), so the per-shard sorts are even; ties in the 32-bit u
+    slice break on the key itself, keeping the order total.
+    """
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    u = hash_unit_col(key_col, seed)
+    with_u = df.withColumn("_u", u) \
+               .withColumn("shard",
+                           F.floor(F.col("_u") * n_shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy("_u", key_col)
+    return (with_u
+            .withColumn("seq", (F.row_number().over(w) - 1).cast("int"))
+            .drop("_u"))

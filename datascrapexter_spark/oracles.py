@@ -524,6 +524,58 @@ GROUP BY doc_id
 """
 
 
+_SHUFFLE_SHARDS_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#42'), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, floor(u * 8)::INT AS shard,
+       (row_number() OVER (PARTITION BY floor(u * 8)
+                           ORDER BY u, doc_id) - 1)::INT AS seq
+FROM u
+"""
+
+
+def _decontamination_sql() -> str:
+    """Reproduces queries.q41_decontamination: same injected benchmark
+    sentence, same distinct word-8-gram sets on both sides, same
+    hit-count/left-join shape."""
+    from .queries import _BENCH_SENTENCE
+
+    shingle8 = ("list_transform(range(1, greatest(len(toks) - 7, 1) + 1), "
+                "i -> array_to_string(toks[i:i+7], ' '))")
+    ws = "[ {t}{n}{r}]+".replace("{t}", "\t").replace("{n}", "\n") \
+                        .replace("{r}", "\r")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 11 = 0
+                      THEN ' {_BENCH_SENTENCE}' ELSE '' END AS text
+  FROM documents
+),
+tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '{ws}') AS toks
+        FROM d),
+sh AS (SELECT DISTINCT doc_id, unnest({shingle8}) AS shingle FROM tok),
+bt AS (SELECT * FROM (VALUES ('{_BENCH_SENTENCE}'),
+  ('completely unrelated benchmark passage nothing matches here'))
+  v(text)),
+btok AS (SELECT regexp_split_to_array(trim(text), '{ws}') AS toks FROM bt),
+b AS (SELECT DISTINCT unnest({shingle8}) AS shingle FROM btok),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM sh WHERE shingle IN (SELECT shingle FROM b)
+  GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_shingles::INT AS n_shingles,
+       coalesce(h.n_contaminated, 0)::BIGINT AS n_contaminated,
+       coalesce(h.n_contaminated, 0) > 0 AS contaminated
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+"""
+
+
 _REPETITION_SQL = r"""
 WITH t AS (
   SELECT doc_id, text,
@@ -750,6 +802,8 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q37_stratified_split": _STRATIFIED_SPLIT_SQL,
     "q38_pii_scrub": _pii_scrub_sql(),
     "q39_paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
+    "q40_shuffle_shards": _SHUFFLE_SHARDS_SQL,
+    "q41_decontamination": _decontamination_sql(),
     "q15_ngram_jaccard": _ngram_jaccard_sql(0.6),
     "q16_simhash": _simhash_sql(32, 3),
     "q17_embedding_topk": _cosine_topk_sql(5, 10),

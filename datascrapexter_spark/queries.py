@@ -438,6 +438,42 @@ def q39_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return paragraph_dedup(d)
 
 
+def q40_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle + shard assignment
+    (ops/sampling.shuffle_shards): content hash = the shuffle order,
+    floor(u*8) = the shard, per-shard rank = the write sequence."""
+    from .ops.sampling import shuffle_shards
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(docs, "doc_id", 8, seed=42)
+
+
+_BENCH_SENTENCE = "the quick brown fox jumps over the lazy dog tonight"
+
+
+def q41_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (ops/dedup.contamination_flags): every
+    doc_id%11 document gets the benchmark sentence appended, so exactly
+    those documents must come back contaminated — with n_contaminated =
+    the sentence's 3 distinct word-8-grams (boundary-spanning 8-grams
+    around the injection exist only in the doc, never in the benchmark,
+    and must NOT count)."""
+    from .ops.dedup import contamination_flags
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit(" " + _BENCH_SENTENCE)).otherwise(F.lit("")),
+    )
+    d = docs.select("doc_id", injected.alias("text"))
+    bench = spark.createDataFrame(
+        [(_BENCH_SENTENCE,),
+         ("completely unrelated benchmark passage nothing matches here",)],
+        "text string")
+    return contamination_flags(d, bench, n=8)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -921,5 +957,7 @@ QUERIES = {
     "q37_stratified_split": q37_stratified_split,
     "q38_pii_scrub": q38_pii_scrub,
     "q39_paragraph_dedup": q39_paragraph_dedup,
+    "q40_shuffle_shards": q40_shuffle_shards,
+    "q41_decontamination": q41_decontamination,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

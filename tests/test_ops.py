@@ -572,3 +572,25 @@ def test_split_paragraphs_col(spark):
     got = df.select(dedup.split_paragraphs_col("t").alias("p")).collect()
     assert got[0]["p"] == ["a b", "c d", "e f"]
     assert got[1]["p"] == []
+
+
+def test_contamination_flags_ngram_overlap(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h tail words here"),   # contains bench 8-gram
+         (2, "totally different words with no benchmark overlap at all"),
+         (3, "x a b c d e f g h")],                # 8-gram at offset 2
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [("a b c d e f g h",)], "text string")     # exactly one 8-gram
+    out = {r["doc_id"]: r
+           for r in dedup.contamination_flags(docs, bench, n=8).collect()}
+    assert out[1]["contaminated"] and out[1]["n_contaminated"] == 1
+    assert out[3]["contaminated"] and out[3]["n_contaminated"] == 1
+    assert not out[2]["contaminated"] and out[2]["n_contaminated"] == 0
+    # boundary-spanning 8-grams ('b c d e f g h tail', ...) must not count
+    assert out[1]["n_shingles"] == 4 and out[1]["n_contaminated"] == 1
+    # non-broadcast path gives identical results
+    nb = {r["doc_id"]: r for r in dedup.contamination_flags(
+        docs, bench, n=8, broadcast_benchmark=False).collect()}
+    assert {k: tuple(v) for k, v in out.items()} == \
+           {k: tuple(v) for k, v in nb.items()}

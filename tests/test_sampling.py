@@ -120,3 +120,33 @@ def test_pii_scrub_and_counts(spark):
     b = out[2]
     assert (b["n_email"], b["n_ipv4"], b["n_phone"]) == (0, 0, 0)
     assert b["s"] == rows[1][1]
+
+
+def test_shuffle_shards_layout(spark):
+    from datascrapexter_spark.ops.sampling import shuffle_shards
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = shuffle_shards(df, "doc_id", 4, seed=7).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["seq"])
+    # every shard's sequence is dense 0..k-1 (a valid write order)
+    for seqs in by_shard.values():
+        assert sorted(seqs) == list(range(len(seqs)))
+    # hash-balanced: no shard hogs the corpus
+    sizes = sorted(len(v) for v in by_shard.values())
+    assert len(sizes) == 4 and sizes[0] > 0 and sizes[-1] < 2 * sizes[0]
+    # fully deterministic across runs
+    again = shuffle_shards(df, "doc_id", 4, seed=7).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["seq"])
+                              for r in rows)
+    assert key(out) == key(again)
+    # a different seed produces a different layout
+    other = shuffle_shards(df, "doc_id", 4, seed=8).collect()
+    assert key(out) != key(other)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="n_shards"):
+        shuffle_shards(df, "doc_id", 0)
