@@ -576,6 +576,22 @@ FROM sizes s LEFT JOIN hits h USING (doc_id)
 """
 
 
+_DOMAIN_CAP_SQL = """
+WITH u AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#3'), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS rn
+  FROM u
+)
+SELECT doc_id, source FROM r WHERE rn <= 10
+"""
+
+
 _REPETITION_SQL = r"""
 WITH t AS (
   SELECT doc_id, text,
@@ -804,6 +820,7 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q39_paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
     "q40_shuffle_shards": _SHUFFLE_SHARDS_SQL,
     "q41_decontamination": _decontamination_sql(),
+    "q42_domain_cap": _DOMAIN_CAP_SQL,
     "q15_ngram_jaccard": _ngram_jaccard_sql(0.6),
     "q16_simhash": _simhash_sql(32, 3),
     "q17_embedding_topk": _cosine_topk_sql(5, 10),

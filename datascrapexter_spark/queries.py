@@ -474,6 +474,16 @@ def q41_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(d, bench, n=8)
 
 
+def q42_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document budget (ops/sampling.cap_per_group): at most
+    10 docs per source, picked by stable content-hash order — the
+    Gopher-style domain-mix cap."""
+    from .ops.sampling import cap_per_group
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "source", 10, "doc_id", seed=3)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -959,5 +969,6 @@ QUERIES = {
     "q39_paragraph_dedup": q39_paragraph_dedup,
     "q40_shuffle_shards": q40_shuffle_shards,
     "q41_decontamination": q41_decontamination,
+    "q42_domain_cap": q42_domain_cap,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

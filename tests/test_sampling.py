@@ -150,3 +150,32 @@ def test_shuffle_shards_layout(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="n_shards"):
         shuffle_shards(df, "doc_id", 0)
+
+
+def test_cap_per_group_skew_and_equivalence(spark):
+    from datascrapexter_spark.ops.sampling import cap_per_group, hash_unit_col
+    from pyspark.sql import Window
+
+    # skewed fixture: one hot group with 300 rows, two cold ones
+    rows = ([(i, "hot") for i in range(300)]
+            + [(1000 + i, "cold_a") for i in range(3)]
+            + [(2000, "cold_b")])
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = cap_per_group(df, "grp", 5, "doc_id", seed=9).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["grp"], set()).add(r["doc_id"])
+    assert len(by["hot"]) == 5           # capped
+    assert len(by["cold_a"]) == 3        # under-cap groups kept whole
+    assert by["cold_b"] == {2000}
+    # salted two-phase == the naive single-window rank (exactness)
+    w = Window.partitionBy("grp").orderBy(F.col("_u").asc(),
+                                          F.col("doc_id").asc())
+    naive = (df.withColumn("_u", hash_unit_col("doc_id", 9))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 5).select("doc_id", "grp").collect())
+    assert sorted((r["doc_id"], r["grp"]) for r in out) == \
+           sorted((r["doc_id"], r["grp"]) for r in naive)
+    # deterministic across runs
+    again = cap_per_group(df, "grp", 5, "doc_id", seed=9).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
