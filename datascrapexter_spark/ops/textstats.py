@@ -228,3 +228,47 @@ def c4_clean_cols(text: Column | str, min_words: int = 3,
         "cleaned_text": F.when(dropped, F.lit(None).cast("string"))
                          .otherwise(F.array_join(kept, "\n")),
     }
+
+
+# ---------------------------------------------------------------------------
+# corpus-level keyword extraction (DataFrame op, not a pure Column: the
+# document-frequency side is a corpus aggregate)
+# ---------------------------------------------------------------------------
+
+
+def tfidf_topk(docs, k: int = 5, id_col: str = "doc_id",
+               text_col: str = "text", round_to: int = 6):
+    """Top-k keywords per document by TF-IDF rank.
+
+    Scoring is the rational form tf/df — rank-identical to tf·(N/df)
+    for any corpus size N, and chosen over the textbook tf·ln(N/df)
+    because it contains no transcendentals: integer counts and one IEEE
+    division reproduce bit-for-bit on every engine (the correctness
+    oracle), where ln() is only accurate to ~1 ulp and can flip a rank.
+    Note the weighting therefore differs from log-idf: rare terms weigh
+    linearly, not logarithmically — documented contract.
+
+    Scale: ONE corpus scan. Term counts are an explode→groupBy(doc,token)
+    with map-side partial aggregation; document frequency is a window
+    count over the already-aggregated tf rows partitioned by token — not
+    a tf⋈df self-join, which would scan and re-aggregate the corpus twice
+    (Spark does not reuse the shared subtree). Three keyed shuffles total
+    (doc,token → token → doc), all on aggregated key-width rows; the
+    final per-document window is bounded by document vocabulary.
+
+    Returns (id, token, tf, df, score, rank) — k rows per document.
+    """
+    from pyspark.sql import DataFrame, Window
+
+    toks = docs.select(F.col(id_col),
+                       F.explode(tokens_col(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    scored = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    raw = F.col("tf").cast("double") / F.col("df")
+    w = Window.partitionBy(id_col).orderBy(raw.desc(), F.col("token").asc())
+    return (scored
+            .withColumn("score", F.round(raw, round_to))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(id_col, "token", "tf", "df", "score", "rank"))

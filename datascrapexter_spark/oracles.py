@@ -592,6 +592,28 @@ SELECT doc_id, source FROM r WHERE rn <= 10
 """
 
 
+_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '[ {t}{n}{r}]+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+         round(tf.tf::DOUBLE / dfq.df, 6)::DOUBLE AS score,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf::DOUBLE / dfq.df DESC,
+                                     tf.token) AS rn
+  FROM tf JOIN dfq USING (token)
+)
+SELECT doc_id, token, tf::BIGINT AS tf, df::BIGINT AS df, score,
+       rn::INT AS rank
+FROM s WHERE rn <= 5
+""".replace("{t}", "\t").replace("{n}", "\n").replace("{r}", "\r")
+
+
 _REPETITION_SQL = r"""
 WITH t AS (
   SELECT doc_id, text,
@@ -821,6 +843,7 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q40_shuffle_shards": _SHUFFLE_SHARDS_SQL,
     "q41_decontamination": _decontamination_sql(),
     "q42_domain_cap": _DOMAIN_CAP_SQL,
+    "q43_tfidf_keywords": _TFIDF_SQL,
     "q15_ngram_jaccard": _ngram_jaccard_sql(0.6),
     "q16_simhash": _simhash_sql(32, 3),
     "q17_embedding_topk": _cosine_topk_sql(5, 10),

@@ -484,6 +484,16 @@ def q42_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, "source", 10, "doc_id", seed=3)
 
 
+def q43_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (ops/textstats.tfidf_topk,
+    rational tf/df scoring — rank-identical to tf*(N/df), transcendental-
+    free so the oracle reproduces ranks bit-for-bit)."""
+    from .ops.textstats import tfidf_topk
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topk(docs, k=5)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -970,5 +980,6 @@ QUERIES = {
     "q40_shuffle_shards": q40_shuffle_shards,
     "q41_decontamination": q41_decontamination,
     "q42_domain_cap": q42_domain_cap,
+    "q43_tfidf_keywords": q43_tfidf_keywords,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

@@ -594,3 +594,31 @@ def test_contamination_flags_ngram_overlap(spark):
         docs, bench, n=8, broadcast_benchmark=False).collect()}
     assert {k: tuple(v) for k, v in out.items()} == \
            {k: tuple(v) for k, v in nb.items()}
+
+
+def test_tfidf_topk_ranks_and_single_scan(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana common"),
+         (2, "banana cherry common"),
+         (3, "common common date")],
+        "doc_id long, text string")
+    out = textstats.tfidf_topk(docs, k=2).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["doc_id"], []).append(r)
+    for rows in by.values():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] \
+            == list(range(1, len(rows) + 1))
+    # doc 1: apple tf=2 df=1 (score 2.0) beats banana tf=1 df=2 (0.5)
+    top1 = min(by[1], key=lambda r: r["rank"])
+    assert (top1["token"], top1["tf"], top1["df"]) == ("apple", 2, 1)
+    assert top1["score"] == 2.0
+    # 'common' df=3 never wins over a rarer term
+    assert all(r["token"] != "common" or r["rank"] > 1 for r in out)
+    # ties break alphabetically: doc 2 banana vs cherry both tf=1 df=2,1
+    top2 = min(by[2], key=lambda r: r["rank"])
+    assert top2["token"] == "cherry"        # df=1 outranks banana df=2
+    # one corpus scan — df comes from a window, not a self-join re-scan
+    plan = textstats.tfidf_topk(docs, k=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1 or "ExistingRDD" in plan
