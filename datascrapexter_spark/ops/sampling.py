@@ -139,3 +139,56 @@ def cap_per_group(df: DataFrame, group_col: str, k: int, key_col: str,
             .withColumn("_r2", F.row_number().over(w2))
             .filter(F.col("_r2") <= k)
             .drop("_u", "_salt", "_r1", "_r2"))
+
+
+def take_token_budget(df: DataFrame, budget: int, key_col: str,
+                      tokens_col: str = "n_tokens", seed: int = 0,
+                      n_buckets: int = 1024) -> DataFrame:
+    """Deterministic token-budget cut: keep documents in stable
+    content-hash order until the running token total reaches `budget` —
+    the "carve a 50B-token mix out of a 10T-token corpus" step. A row is
+    kept iff its INCLUSIVE running total <= budget, so the kept set is a
+    contiguous, re-run-stable prefix of the hash order.
+
+    A naive running total is a single-partition global window — a
+    scale-killer. This is a distributed prefix sum instead:
+
+      1. rows land in hash-order-aligned buckets (floor(u*n_buckets),
+         monotone in u, so bucket order == global order);
+      2. per-bucket token sums (<= n_buckets rows, corpus-independent)
+         come to the driver for an exclusive prefix scan;
+      3. buckets whose starting offset already exceeds the budget are
+         PRUNED before any shuffle — only ~budget worth of rows ever
+         reaches a window;
+      4. surviving buckets cumsum independently with their broadcast
+         offset added.
+
+    One keyed aggregation over the corpus + one keyed shuffle over the
+    surviving prefix. Returns df's columns + `cum_tokens` (the inclusive
+    global running total).
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql import Window
+
+    d = (df.withColumn("_u", hash_unit_col(key_col, seed))
+           .withColumn("_b", F.floor(F.col("_u") * n_buckets).cast("int")))
+    sums = {r["_b"]: r["s"] for r in
+            d.groupBy("_b").agg(F.sum(tokens_col).alias("s")).collect()}
+    offsets, running = [], 0
+    for b in sorted(sums):
+        if running <= budget:      # bucket can still contribute rows
+            offsets.append((b, running))
+        running += sums[b]
+    if not offsets:
+        off_df = d.sparkSession.createDataFrame([], "_b int, _off long")
+    else:
+        off_df = d.sparkSession.createDataFrame(offsets, "_b int, _off long")
+    w = (Window.partitionBy("_b").orderBy("_u", key_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (d.join(F.broadcast(off_df), "_b")     # inner join prunes buckets
+            .withColumn("cum_tokens",
+                        (F.col("_off") + F.sum(tokens_col).over(w))
+                        .cast("long"))
+            .filter(F.col("cum_tokens") <= budget)
+            .drop("_u", "_b", "_off"))

@@ -614,6 +614,26 @@ FROM s WHERE rn <= 5
 """.replace("{t}", "\t").replace("{n}", "\n").replace("{r}", "\r")
 
 
+_TOKEN_BUDGET_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '[ {t}{n}{r}]+'))::BIGINT
+           AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#4'), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY u, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens, cum::BIGINT AS cum_tokens
+FROM c WHERE cum <= 10000
+""".replace("{t}", "\t").replace("{n}", "\n").replace("{r}", "\r")
+
+
 _REPETITION_SQL = r"""
 WITH t AS (
   SELECT doc_id, text,
@@ -844,6 +864,7 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q41_decontamination": _decontamination_sql(),
     "q42_domain_cap": _DOMAIN_CAP_SQL,
     "q43_tfidf_keywords": _TFIDF_SQL,
+    "q44_token_budget": _TOKEN_BUDGET_SQL,
     "q15_ngram_jaccard": _ngram_jaccard_sql(0.6),
     "q16_simhash": _simhash_sql(32, 3),
     "q17_embedding_topk": _cosine_topk_sql(5, 10),

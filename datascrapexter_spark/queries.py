@@ -494,6 +494,19 @@ def q43_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, k=5)
 
 
+def q44_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget cut (ops/sampling.take_token_budget): keep documents
+    in stable hash order until 10,000 whitespace tokens are consumed —
+    the distributed prefix-sum mix carver."""
+    from .ops.sampling import take_token_budget
+    from .ops.textstats import token_count_col
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    token_count_col("text").cast("long").alias("n_tokens")))
+    return take_token_budget(docs, 10_000, "doc_id", seed=4)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -981,5 +994,6 @@ QUERIES = {
     "q41_decontamination": q41_decontamination,
     "q42_domain_cap": q42_domain_cap,
     "q43_tfidf_keywords": q43_tfidf_keywords,
+    "q44_token_budget": q44_token_budget,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

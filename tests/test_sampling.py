@@ -179,3 +179,30 @@ def test_cap_per_group_skew_and_equivalence(spark):
     # deterministic across runs
     again = cap_per_group(df, "grp", 5, "doc_id", seed=9).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_take_token_budget_prefix_semantics(spark):
+    from datascrapexter_spark.ops.sampling import (take_token_budget,
+                                                   hash_unit_col)
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(i, 10 + (i % 7)) for i in range(300)],
+                               "doc_id long, n_tokens long")
+    out = take_token_budget(df, 1000, "doc_id", seed=5).collect()
+    assert out, "budget 1000 must keep some docs"
+    assert max(r["cum_tokens"] for r in out) <= 1000
+    # kept set == the naive single-window global prefix (exactness)
+    w = (Window.orderBy(F.col("_u"), F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    naive = (df.withColumn("_u", hash_unit_col("doc_id", 5))
+             .withColumn("cum", F.sum("n_tokens").over(w))
+             .filter(F.col("cum") <= 1000).collect())
+    assert sorted((r["doc_id"], r["cum_tokens"]) for r in out) == \
+           sorted((r["doc_id"], r["cum"]) for r in naive)
+    # contiguity: the kept docs are a prefix — one more doc would overflow
+    total = sum(r["n_tokens"] for r in out)
+    assert total == max(r["cum_tokens"] for r in out)
+    assert len(out) < 300  # the budget actually cut
+    # degenerate budgets
+    assert take_token_budget(df, 0, "doc_id", seed=5).count() == 0
+    assert take_token_budget(df, 10**9, "doc_id", seed=5).count() == 300
