@@ -634,6 +634,48 @@ FROM c WHERE cum <= 10000
 """.replace("{t}", "\t").replace("{n}", "\n").replace("{r}", "\r")
 
 
+def _staged_pipeline_sql() -> str:
+    """Replays queries.q45_staged_pipeline stage by stage: the q12
+    extraction algebra, the same transform chains, the options-whitelist
+    default substitution, keep-first dedup per heading, and the literal
+    tier dim as a VALUES join."""
+    allowed = ", ".join(f"'SRC{i}'" for i in range(20) if i not in (7, 13))
+    return f"""
+WITH x AS (
+  SELECT doc_id,
+         'Doc ' || doc_id AS title,
+         upper(source) AS heading,
+         trim(substr(text, 1, 50)) AS description,
+         ((n_chars::VARCHAR) || '.99')::DOUBLE AS price
+  FROM documents
+),
+t AS (
+  SELECT doc_id, upper(title) AS title, heading,
+         lower(trim(description)) AS description, price
+  FROM x
+),
+v AS (
+  SELECT doc_id, title,
+         CASE WHEN heading IN ({allowed}) THEN heading
+              ELSE 'OTHER' END AS heading,
+         description, price,
+         CASE WHEN heading IN ({allowed}) THEN 0 ELSE 1 END AS n_violations
+  FROM t
+),
+d AS (
+  SELECT *, row_number() OVER (PARTITION BY heading
+                               ORDER BY doc_id) AS rn
+  FROM v
+)
+SELECT d.doc_id, d.heading, d.title, d.description, d.price,
+       d.n_violations::INT AS n_violations, e.tier
+FROM d LEFT JOIN (VALUES ('SRC0', 'gold'), ('SRC1', 'silver'),
+                         ('OTHER', 'quarantine')) e(heading, tier)
+  ON d.heading = e.heading
+WHERE d.rn = 1
+"""
+
+
 _REPETITION_SQL = r"""
 WITH t AS (
   SELECT doc_id, text,
@@ -865,6 +907,7 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q42_domain_cap": _DOMAIN_CAP_SQL,
     "q43_tfidf_keywords": _TFIDF_SQL,
     "q44_token_budget": _TOKEN_BUDGET_SQL,
+    "q45_staged_pipeline": _staged_pipeline_sql(),
     "q15_ngram_jaccard": _ngram_jaccard_sql(0.6),
     "q16_simhash": _simhash_sql(32, 3),
     "q17_embedding_topk": _cosine_topk_sql(5, 10),

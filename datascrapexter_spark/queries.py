@@ -507,6 +507,50 @@ def q44_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return take_token_budget(docs, 10_000, "doc_id", seed=4)
 
 
+def q45_staged_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full five-stage Process() chain
+    (ops/pipeline.process_pipeline, pipeline.go:115-215): CSS extraction
+    → transform chains → options-whitelist validation with OTHER default
+    → exact dedup on the heading → broadcast tier enrichment. One row
+    per surviving heading."""
+    from .extract.validation import ValidationRule
+    from .ops.pipeline import PipelineConfig, process_pipeline
+
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select("doc_id", _doc_html_col().alias("html"))
+    allowed = [f"SRC{i}" for i in range(20) if i not in (7, 13)]
+    dim = spark.createDataFrame(
+        [("SRC0", "gold"), ("SRC1", "silver"), ("OTHER", "quarantine")],
+        "heading string, tier string")
+    cfg = PipelineConfig(
+        fields=[
+            FieldConfig(name="title", selector="title", type="text"),
+            FieldConfig(name="heading", selector="h1.title", type="text"),
+            FieldConfig(name="description", selector="p.description",
+                        type="text"),
+            FieldConfig(name="price", selector=".price", type="number"),
+        ],
+        transforms={
+            "title": [{"type": "uppercase"}],
+            "description": [{"type": "trim"}, {"type": "lowercase"}],
+        },
+        validation_rules=[
+            ValidationRule(field="heading", type="string",
+                           options=allowed, default="OTHER"),
+            ValidationRule(field="price", type="number", required=True),
+        ],
+        dedup_cols=["heading"],
+        dedup_order_col="doc_id",
+        enrich_source=dim,
+        enrich_on="heading",
+        enrich_broadcast=True,
+    )
+    run = process_pipeline(pages, cfg)
+    return run.df.select(
+        "doc_id", "heading", "title", "description", "price",
+        F.size("_violations").alias("n_violations"), "tier")
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -995,5 +1039,6 @@ QUERIES = {
     "q42_domain_cap": q42_domain_cap,
     "q43_tfidf_keywords": q43_tfidf_keywords,
     "q44_token_budget": q44_token_budget,
+    "q45_staged_pipeline": q45_staged_pipeline,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

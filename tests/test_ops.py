@@ -622,3 +622,60 @@ def test_tfidf_topk_ranks_and_single_scan(spark):
     plan = textstats.tfidf_topk(docs, k=2) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1 or "ExistingRDD" in plan
+
+
+def test_process_pipeline_stages_and_observed_metrics(spark):
+    from datascrapexter_spark.extract.fields import FieldConfig
+    from datascrapexter_spark.extract.validation import ValidationRule
+    from datascrapexter_spark.ops.pipeline import (PipelineConfig,
+                                                   process_pipeline)
+
+    def page(i, name, price):
+        return (i, f"<html><head><title>P{i}</title></head><body>"
+                   f"<h1 class='n'>{name}</h1>"
+                   f"<span class='price'>${price}</span></body></html>")
+
+    rows = [page(1, "alpha", "3.50"), page(2, "alpha", "4.00"),
+            page(3, "beta", "9.99"), page(4, "gamma", "1.00")]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    dim = spark.createDataFrame([("ALPHA", "a-tier")],
+                                "name string, tier string")
+    cfg = PipelineConfig(
+        fields=[FieldConfig(name="name", selector="h1.n", type="text"),
+                FieldConfig(name="price", selector=".price",
+                            type="number")],
+        transforms={"name": [{"type": "uppercase"}]},
+        validation_rules=[
+            ValidationRule(field="name", type="string",
+                           options=["ALPHA", "BETA"], default="OTHER")],
+        dedup_cols=["name"], dedup_order_col="doc_id",
+        enrich_source=dim, enrich_on="name", enrich_broadcast=True)
+    run = process_pipeline(df, cfg)
+    out = {r["name"]: r for r in run.df.collect()}
+    # dedup keeps first doc per name; gamma fails the whitelist -> OTHER
+    assert set(out) == {"ALPHA", "BETA", "OTHER"}
+    assert out["ALPHA"]["doc_id"] == 1 and out["ALPHA"]["tier"] == "a-tier"
+    assert out["OTHER"]["doc_id"] == 4 and out["OTHER"]["tier"] is None
+    m = run.metrics()
+    assert m["input"]["rows"] == 4
+    assert m["extraction"]["rows"] == 4
+    assert m["transformation"]["rows"] == 4
+    assert m["validation"]["rows"] == 4
+    assert m["validation"]["rows_with_violations"] == 1   # gamma
+    assert m["deduplication"]["rows"] == 3
+    assert m["enrichment"]["rows"] == 3
+
+    # strict mode: the violating record is dropped, like Validate error
+    cfg_strict = PipelineConfig(
+        fields=cfg.fields, transforms=cfg.transforms,
+        validation_rules=cfg.validation_rules, strict=True,
+        dedup_cols=["name"], dedup_order_col="doc_id")
+    run2 = process_pipeline(df, cfg_strict)
+    names = {r["name"] for r in run2.df.collect()}
+    assert names == {"ALPHA", "BETA"}
+    assert run2.metrics()["validation"]["rows"] == 3      # survivors
+
+    # skipped stages don't observe (nil components, pipeline.go:123-215)
+    run3 = process_pipeline(df, PipelineConfig(fields=cfg.fields))
+    run3.df.count()
+    assert set(run3.metrics()) == {"input", "extraction"}
