@@ -651,29 +651,32 @@ def contamination_flags(docs: DataFrame, benchmark: DataFrame,
     between a training doc and an eval set means the doc leaks the
     benchmark and must be dropped).
 
-    Scale: the benchmark side is tiny relative to the corpus (MBs of eval
-    text vs TBs of training text), so its distinct shingle set broadcasts
-    (default) and the corpus-side shingles are probed WITHOUT a shuffle;
-    set broadcast_benchmark=False to fall back to a keyed equi-join when
-    the benchmark is genuinely large. The per-doc hit count is a groupBy
-    over hit rows only (bounded by contamination, not corpus size), and
-    the final enrich join is AQE-broadcastable for the same reason.
+    Scale: ONE corpus scan. The benchmark side is tiny relative to the
+    corpus (MBs of eval text vs TBs of training text), so its distinct
+    shingle set broadcasts (default) and the corpus-side shingles are
+    marked in place WITHOUT a shuffle (left join against the broadcast +
+    hit flag — not a semi-join, which would drop the zero-hit documents
+    and force a second corpus scan to recover their shingle counts); set
+    broadcast_benchmark=False to fall back to a keyed equi-join when the
+    benchmark is genuinely large. The per-doc rollup is one groupBy with
+    map-side partial counts/sums, so the exchange carries one row per
+    (doc, partition), not the exploded shingles.
 
     Returns (id, n_shingles, n_contaminated, contaminated).
     """
-    d_shingles = F.array_distinct(shingles_col(text_col, n))
-    d_sh = docs.select(F.col(id_col),
-                       F.explode(d_shingles).alias("shingle"))
-    b_sh = benchmark.select(
+    d_sh = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(text_col, n)))
+        .alias("shingle"))
+    b_sh = (benchmark.select(
         F.explode(F.array_distinct(shingles_col(bench_text_col, n)))
         .alias("shingle")).distinct()
+        .withColumn("_hit", F.lit(1)))
     if broadcast_benchmark:
         b_sh = F.broadcast(b_sh)
-    hits = (d_sh.join(b_sh, "shingle", "left_semi")
+    return (d_sh.join(b_sh, "shingle", "left")
             .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_contaminated")))
-    stats = docs.select(F.col(id_col), F.size(d_shingles).alias("n_shingles"))
-    return (stats.join(hits, id_col, "left")
-            .withColumn("n_contaminated",
-                        F.coalesce(F.col("n_contaminated"), F.lit(0)))
+            .agg(F.count(F.lit(1)).cast("int").alias("n_shingles"),
+                 F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
+                 .alias("n_contaminated"))
             .withColumn("contaminated", F.col("n_contaminated") > 0))
