@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "q29_jsonld_extraction",
     "q35_dedup_clusters",
     "q36_c4_line_filter",
+    "q39_paragraph_dedup",
+    "q43_tfidf_keywords",
 ]
 
 URL_MULT = int(os.environ.get("SPARK_GRAFT_URL_MULT", "10"))

@@ -196,3 +196,44 @@ def test_cli_validate_template_version(tmp_path, capsys):
     bad = tmp_path / "bad.yaml"
     bad.write_text("name: x\nfields: []\n")
     assert main(["validate", str(bad)]) == 1
+
+
+def test_scraper_client_public_api(spark, tmp_path):
+    from datascrapexter_spark.client import ScraperClient, load_config
+
+    pages_rows, _seeds, robots = make_web(n_hosts=2, pages_per_host=3)
+    pages = spark.createDataFrame(
+        pages_rows, "url string, warc_ts timestamp, html binary, "
+                    "text string, lang string")
+
+    client = ScraperClient(CONFIG_YAML)
+    client.enable_metrics(True)
+    recs = client.scrape(spark, pages, robots_texts=robots,
+                         state_root=str(tmp_path / "s1"), max_rounds=2)
+    assert recs and isinstance(recs[0], dict) and "title" in recs[0]
+    assert client.last_stats and client.last_stats[0]["scheduled"] > 0
+
+    # parallel variant is the same distributed job -> same record set
+    recs_p = client.scrape_parallel(
+        spark, pages, robots_texts=robots,
+        state_root=str(tmp_path / "s2"), max_rounds=2)
+    key = lambda rs: sorted(r["url_canon"] for r in rs)
+    assert key(recs) == key(recs_p)
+
+    # metrics gate off -> stats not retained (EnableMetrics parity)
+    client.enable_metrics(False)
+    client.scrape(spark, pages, robots_texts=robots,
+                  state_root=str(tmp_path / "s3"), max_rounds=1)
+    assert client.last_stats is None
+
+    # urls win over base_url; neither -> the Go client's error
+    cfg = load_config(CONFIG_YAML)
+    assert ScraperClient(cfg)._urls_to_scrape() == cfg.urls
+    cfg2 = load_config(CONFIG_YAML)
+    cfg2.urls, cfg2.base_url = [], "https://site0.example.com/page/0"
+    assert ScraperClient(cfg2)._urls_to_scrape() == [cfg2.base_url]
+    cfg3 = load_config(CONFIG_YAML)
+    cfg3.urls, cfg3.base_url = [], ""
+    import pytest as _pt
+    with _pt.raises(ValueError, match="no URLs"):
+        ScraperClient(cfg3).scrape(spark, pages)
