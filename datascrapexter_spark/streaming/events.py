@@ -163,3 +163,31 @@ def adaptive_rate_stream(fetch_events: DataFrame, pol=None,
         .applyInPandasWithState(
             update, RATE_OUT_SCHEMA, RATE_STATE_SCHEMA, "update", timeout)
     )
+
+
+def streaming_dedup(stream: DataFrame, content_cols: list[str],
+                    ts_col: str = "ts",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Ingest-time exact dedup: the streaming twin of ops.dedup.exact_dedup
+    (identity = md5 of the NULL-sentinel concat, the same documented
+    digest contract), for landing-zone pipelines where duplicates arrive
+    continuously (re-fetches, retried uploads).
+
+    dropDuplicatesWithinWatermark keys the state store on the digest and
+    EVICTS entries once they age past the watermark — bounded state on an
+    unbounded stream, which plain dropDuplicates cannot give. Exactly one
+    record per identity survives the watermark horizon, but WHICH one is
+    arrival/processing-order dependent (across partitions of a micro-batch
+    it is not defined) — unlike batch exact_dedup's deterministic
+    keep-first-by-order_col. Duplicates separated by more than the
+    watermark are deliberately NOT collapsed either. Both caveats are why
+    this operator only thins the hot ingest path; the global, reproducible
+    guarantee stays with batch exact_dedup over the compacted corpus.
+    """
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+             for c in content_cols]
+    return (stream
+            .withColumn("_digest", F.md5(F.concat_ws("\x1f", *parts)))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["_digest"])
+            .drop("_digest"))

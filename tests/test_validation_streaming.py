@@ -166,3 +166,36 @@ def test_streaming_adaptive_rate_state(spark, tmp_path):
     assert got2["d1"]["consec_err"] == 2 and got2["d1"]["batch_no"] == 2
     assert got2["d1"]["tokens"] == tokens_per_round_py(0.0, 1.0, 2, pol)
     assert got2["d2"]["consec_err"] == 1
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from datascrapexter_spark.streaming.events import streaming_dedup
+
+    src = str(tmp_path / "landing_dd")
+    ckpt = str(tmp_path / "ckpt_dd")
+    os.makedirs(src, exist_ok=True)
+    batch = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1, "view", 1.0, "A"),
+         (2, "2024-01-01 10:10:00", 1, "view", 1.0, "A"),   # dup of 1
+         (3, "2024-01-01 10:20:00", 1, "view", 1.0, "B"),
+         (4, "2024-01-01 10:30:00", 1, "view", 2.0, "A"),   # dup of 1
+         (5, "2024-01-01 10:40:00", 1, "click", 1.0, "A")], # kind differs
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch.write.mode("overwrite").parquet(src)
+
+    stream = stream_files(spark, src)
+    dd = streaming_dedup(stream, ["event_type", "props"],
+                         watermark="2 hours")
+    assert dd.isStreaming and "_digest" not in dd.columns
+    run_to_memory(dd, "dedup_stream", ckpt, output_mode="append")
+    got = spark.table("dedup_stream").collect()
+    # exactly ONE survivor per content identity (which one is processing-
+    # order dependent — the documented contrast with batch exact_dedup)
+    assert sorted((r["event_type"], r["props"]) for r in got) == \
+        [("click", "A"), ("view", "A"), ("view", "B")]
+    assert {r["event_id"] for r in got if r["props"] == "B"} == {3}
+    assert {r["event_id"] for r in got if r["event_type"] == "click"} == {5}
+    assert [r["event_id"] for r in got
+            if (r["event_type"], r["props"]) == ("view", "A")][0] in (1, 2, 4)
