@@ -272,3 +272,65 @@ def tfidf_topk(docs, k: int = 5, id_col: str = "doc_id",
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(id_col, "token", "tf", "df", "score", "rank"))
+
+
+def gopher_filter_cols(text: Column | str, *, min_tokens: int = 50,
+                       max_tokens: int = 100_000,
+                       min_mean_tok: float = 3.0,
+                       max_mean_tok: float = 10.0,
+                       min_alpha: float = 0.8,
+                       min_stop_hits: int = 2,
+                       max_top_token: float = 0.3,
+                       max_dup_bigram: float = 0.2,
+                       max_dup_line: float = 0.3,
+                       round_to: int = 6) -> dict[str, Column]:
+    """Gopher-style composite document filter (Rae et al. 2021 §A1.1):
+    the thresholded keep/drop decision over the quality + repetition
+    measures, with per-document failure reasons — the form the filter is
+    actually applied in a corpus pipeline (drop with audit trail), not
+    just the raw measures.
+
+    Adaptations from the paper, documented: alpha is the char-level
+    letters+space ratio (the paper thresholds %words-containing-alpha);
+    the repeated-content caps use top-token / dup-bigram / dup-line
+    fractions (the paper's family of duplicate-fraction measures).
+
+    Every comparison runs on the round-6 measures the q19/q27 oracles
+    already reproduce, so keep/reasons are bit-reproducible on an
+    independent engine. Pure codegen; zero Python, zero shuffle.
+
+    Returns measures + `stop_hits` (int) + `reasons`
+    (array<string>, fixed rule order) + `keep` (reasons empty).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    q = quality_columns(c, round_to)
+    r = repetition_columns(c, round_to)
+    toks = tokens_col(c)
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(
+        F.filter(toks, lambda t: F.array_contains(en, F.lower(t))))
+    checks = [
+        ("token_count", (q["n_tokens"] < min_tokens)
+         | (q["n_tokens"] > max_tokens)),
+        ("mean_token_len", (q["mean_token_len"] < min_mean_tok)
+         | (q["mean_token_len"] > max_mean_tok)),
+        ("alpha_ratio", q["alpha_ratio"] < min_alpha),
+        ("stopwords", stop_hits < min_stop_hits),
+        ("top_token", r["top_token_ratio"] > max_top_token),
+        ("dup_bigram", r["dup_bigram_ratio"] > max_dup_bigram),
+        ("dup_line", r["dup_line_ratio"] > max_dup_line),
+    ]
+    reasons = F.array_compact(F.array(
+        *[F.when(cond, F.lit(name)).otherwise(F.lit(None))
+          for name, cond in checks]))
+    return {
+        "n_tokens": q["n_tokens"],
+        "mean_token_len": q["mean_token_len"],
+        "alpha_ratio": q["alpha_ratio"],
+        "stop_hits": stop_hits.cast("int"),
+        "top_token_ratio": r["top_token_ratio"],
+        "dup_bigram_ratio": r["dup_bigram_ratio"],
+        "dup_line_ratio": r["dup_line_ratio"],
+        "reasons": reasons,
+        "keep": F.size(reasons) == 0,
+    }

@@ -676,6 +676,76 @@ WHERE d.rn = 1
 """
 
 
+def _gopher_filter_sql() -> str:
+    """Replays queries.q46_gopher_filter: the q19/q27 measure twins plus
+    the same fixed-order threshold reasons."""
+    en = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    ws = "[ {t}{n}{r}]+".replace("{t}", "\t").replace("{n}", "\n") \
+                        .replace("{r}", "\r")
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '{ws}') AS toks
+  FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                        i -> array_to_string(toks[i:i+1], ' ')) AS bigrams
+  FROM t
+),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
+top AS (SELECT doc_id, max(c) AS mx FROM tc GROUP BY doc_id),
+ln AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, chr(10)),
+                     x -> trim(x) != '') AS lines
+  FROM t
+),
+m AS (
+  SELECT t.doc_id,
+         len(t.toks)::BIGINT AS n_tokens,
+         round(length(regexp_replace(t.text, '[ \\t\\n\\r]', '', 'g'))::DOUBLE
+               / greatest(len(t.toks), 1), 6)::DOUBLE AS mean_token_len,
+         round(length(regexp_replace(t.text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
+               / greatest(length(t.text), 1), 6)::DOUBLE AS alpha_ratio,
+         len(list_filter(t.toks,
+             x -> list_contains({en}, lower(x))))::INT AS stop_hits,
+         round(coalesce(top.mx, 0)::DOUBLE
+               / greatest(len(t.toks), 1), 6)::DOUBLE AS top_token_ratio,
+         round(1.0 - len(list_distinct(bi.bigrams))::DOUBLE
+               / greatest(len(bi.bigrams), 1), 6)::DOUBLE AS dup_bigram_ratio,
+         round(1.0 - len(list_distinct(ln.lines))::DOUBLE
+               / greatest(len(ln.lines), 1), 6)::DOUBLE AS dup_line_ratio
+  FROM t
+  JOIN bi ON bi.doc_id = t.doc_id
+  JOIN ln ON ln.doc_id = t.doc_id
+  LEFT JOIN top ON top.doc_id = t.doc_id
+),
+r AS (
+  SELECT *,
+         list_filter([
+           CASE WHEN n_tokens < 50 OR n_tokens > 100000
+                THEN 'token_count' END,
+           CASE WHEN mean_token_len < 3.0 OR mean_token_len > 10.0
+                THEN 'mean_token_len' END,
+           CASE WHEN alpha_ratio < 0.8 THEN 'alpha_ratio' END,
+           CASE WHEN stop_hits < 2 THEN 'stopwords' END,
+           CASE WHEN top_token_ratio > 0.3 THEN 'top_token' END,
+           CASE WHEN dup_bigram_ratio > 0.2 THEN 'dup_bigram' END,
+           CASE WHEN dup_line_ratio > 0.3 THEN 'dup_line' END
+         ], x -> x IS NOT NULL) AS reason_list
+  FROM m
+)
+SELECT doc_id, n_tokens, mean_token_len, alpha_ratio, stop_hits,
+       top_token_ratio, dup_bigram_ratio, dup_line_ratio,
+       len(reason_list) = 0 AS keep,
+       coalesce(array_to_string(reason_list, ','), '') AS reasons
+FROM r
+"""
+
+
 _REPETITION_SQL = r"""
 WITH t AS (
   SELECT doc_id, text,
@@ -908,6 +978,7 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q43_tfidf_keywords": _TFIDF_SQL,
     "q44_token_budget": _TOKEN_BUDGET_SQL,
     "q45_staged_pipeline": _staged_pipeline_sql(),
+    "q46_gopher_filter": _gopher_filter_sql(),
     "q15_ngram_jaccard": _ngram_jaccard_sql(0.6),
     "q16_simhash": _simhash_sql(32, 3),
     "q17_embedding_topk": _cosine_topk_sql(5, 10),

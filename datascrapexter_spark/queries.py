@@ -551,6 +551,19 @@ def q45_staged_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("_violations").alias("n_violations"), "tier")
 
 
+def q46_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher composite quality filter (ops/textstats.gopher_filter_cols):
+    thresholded keep/drop with per-document failure reasons."""
+    from .ops.textstats import gopher_filter_cols
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    cols = gopher_filter_cols("text")
+    return docs.select(
+        "doc_id",
+        *[v.alias(k) for k, v in cols.items() if k != "reasons"],
+        F.array_join(cols["reasons"], ",").alias("reasons"))
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1040,5 +1053,6 @@ QUERIES = {
     "q43_tfidf_keywords": q43_tfidf_keywords,
     "q44_token_budget": q44_token_budget,
     "q45_staged_pipeline": q45_staged_pipeline,
+    "q46_gopher_filter": q46_gopher_filter,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

@@ -679,3 +679,30 @@ def test_process_pipeline_stages_and_observed_metrics(spark):
     run3 = process_pipeline(df, PipelineConfig(fields=cfg.fields))
     run3.df.count()
     assert set(run3.metrics()) == {"input", "extraction"}
+
+
+def test_gopher_filter_rules(spark):
+    # 60 distinct letter-only words + stopwords: passes every band
+    good = ("the " + " ".join(f"word{a}{b}" for a in "abcdef"
+                              for b in "abcdefghij") + " the a end")
+    spammy = "spam " * 80
+    short = "the a tiny doc"
+    symbols = "@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) !!!! " * 8
+    df = spark.createDataFrame(
+        [(1, good), (2, spammy.strip()), (3, short), (4, symbols.strip())],
+        "doc_id long, text string")
+    cols = textstats.gopher_filter_cols("text")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[v.alias(k) for k, v in cols.items()]).collect()}
+    assert out[1]["keep"] and out[1]["reasons"] == []
+    assert not out[2]["keep"]
+    assert {"top_token", "dup_bigram"} <= set(out[2]["reasons"])
+    assert not out[3]["keep"] and "token_count" in out[3]["reasons"]
+    assert not out[4]["keep"]
+    assert {"alpha_ratio", "stopwords"} <= set(out[4]["reasons"])
+    # reasons keep the fixed rule order
+    order = ["token_count", "mean_token_len", "alpha_ratio", "stopwords",
+             "top_token", "dup_bigram", "dup_line"]
+    for r in out.values():
+        idx = [order.index(x) for x in r["reasons"]]
+        assert idx == sorted(idx)
