@@ -12,4 +12,13 @@ independent SQL oracle; frontier identity hashing stays xxhash64 per the
 north rule.
 """
 
-from . import dedup, enrich, multimodal, similarity, textstats  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    enrich,
+    multimodal,
+    pii,
+    pipeline,
+    sampling,
+    similarity,
+    textstats,
+)
