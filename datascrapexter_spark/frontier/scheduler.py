@@ -67,6 +67,9 @@ from ..functions.urlnorm import (
 )
 from ..functions.urlnorm import host_col
 from .bloom import BloomShards, build_bitset, probe_maybe_seen_df
+from .cuckoo import CuckooShards
+from .cuckoo import build_shard_blob as cuckoo_build_blob
+from .cuckoo import probe_maybe_seen_cuckoo_df
 from .links import extract_links_df
 from .pagination import PaginationSpec, extract_next_urls_df
 from .politeness import (
@@ -126,9 +129,18 @@ class CrawlConfig:
     pagination_spec: PaginationSpec | None = None
     restrict_to_seed_hosts: bool = True
     default_priority: int = 5          # JobPriority normal (pkg/types/types.go:47)
+    # URL-seen prefilter family (north_rule: "partitioned Bloom/cuckoo
+    # URL-seen filter"): "bloom" (OR-mergeable bitsets, densest) or
+    # "cuckoo" (fingerprint table — supports deletion for recrawl
+    # deployments, two bucket reads per probe). Both are prefilters only;
+    # the exact anti-join always settles correctness, so the two configs
+    # produce bit-identical crawls (test_cuckoo).
+    seen_filter: str = "bloom"
     bloom_n_shards: int = 16
     bloom_m_bits: int = 1 << 20
     bloom_k: int = 7
+    cuckoo_n_buckets: int = 1 << 15   # per shard; *4 slots = 128Ki entries
+    cuckoo_slots: int = 4
     # above this total filter size the probe switches from driver-broadcast
     # (zero shuffle) to the distributed cogroup probe (shards never leave
     # executors) — at 10^10 URLs the filter is tens of GiB
@@ -396,21 +408,42 @@ class CrawlEngine:
         return pending.unionByName(archive)
 
     # ------------------------------------------------------------------
-    # bloom helpers
+    # seen-filter helpers (bloom or cuckoo shards — cfg.seen_filter; both
+    # persist per-round partial blobs in the `bloom_shards` snapshot
+    # table and merge reader-side: OR for bloom, fingerprint re-insert
+    # for cuckoo)
     # ------------------------------------------------------------------
+
+    def _filter_total_bytes(self) -> int:
+        cfg = self.cfg
+        if cfg.seen_filter == "cuckoo":
+            return cfg.bloom_n_shards * (
+                16 + cfg.cuckoo_n_buckets * cfg.cuckoo_slots * 2)
+        return cfg.bloom_n_shards * cfg.bloom_m_bits // 8
 
     def _bloom_partials(self, hashes: DataFrame, round_no: int) -> DataFrame:
         """Executor-side shard build: group new hashes by shard, one
-        bitset per shard per round (append-only; reader OR-merges)."""
-        m_bits, k = self.cfg.bloom_m_bits, self.cfg.bloom_k
-        n_shards = self.cfg.bloom_n_shards
+        serialized filter blob per shard per round (append-only)."""
+        cfg = self.cfg
+        n_shards = cfg.bloom_n_shards
         out_schema = "shard_id int, round int, bitset binary"
+        if cfg.seen_filter == "cuckoo":
+            n_buckets, slots = cfg.cuckoo_n_buckets, cfg.cuckoo_slots
 
-        def build(pdf: pd.DataFrame) -> pd.DataFrame:
-            shard = int(pdf["shard_id"].iloc[0])
-            bs = build_bitset(pdf["url_hash"].to_numpy(), m_bits, k)
-            return pd.DataFrame(
-                {"shard_id": [shard], "round": [round_no], "bitset": [bs]})
+            def build(pdf: pd.DataFrame) -> pd.DataFrame:
+                shard = int(pdf["shard_id"].iloc[0])
+                bs = cuckoo_build_blob(pdf["url_hash"].to_numpy(),
+                                       n_buckets, slots)
+                return pd.DataFrame(
+                    {"shard_id": [shard], "round": [round_no], "bitset": [bs]})
+        else:
+            m_bits, k = cfg.bloom_m_bits, cfg.bloom_k
+
+            def build(pdf: pd.DataFrame) -> pd.DataFrame:
+                shard = int(pdf["shard_id"].iloc[0])
+                bs = build_bitset(pdf["url_hash"].to_numpy(), m_bits, k)
+                return pd.DataFrame(
+                    {"shard_id": [shard], "round": [round_no], "bitset": [bs]})
 
         return (
             hashes.withColumn("shard_id",
@@ -418,11 +451,17 @@ class CrawlEngine:
             .groupBy("shard_id").applyInPandas(build, out_schema)
         )
 
-    def _load_bloom(self) -> BloomShards:
+    def _load_bloom(self):
+        """Merged driver-side filter handle (BloomShards or CuckooShards —
+        both expose maybe_seen for the broadcast probe UDF)."""
         df = self._read("bloom_shards")
         rows = [] if df is None else [
             (r["shard_id"], r["round"], r["bitset"]) for r in df.collect()
         ]
+        if self.cfg.seen_filter == "cuckoo":
+            return CuckooShards.from_rows(
+                rows, self.cfg.bloom_n_shards, self.cfg.cuckoo_n_buckets,
+                self.cfg.cuckoo_slots)
         return BloomShards.from_rows(
             rows, self.cfg.bloom_n_shards, self.cfg.bloom_m_bits, self.cfg.bloom_k)
 
@@ -576,12 +615,13 @@ class CrawlEngine:
             candidates = candidates.join(F.broadcast(hosts_df), "host", "semi")
         candidates = candidates.withColumn("url_hash", F.xxhash64("url_canon"))
 
-        # --- dedup: Bloom prefilter, then exact anti-join for maybe-seen ---
-        total_filter_bytes = cfg.bloom_n_shards * cfg.bloom_m_bits // 8
-        if total_filter_bytes <= cfg.bloom_broadcast_max_bytes:
+        # --- dedup: bloom/cuckoo prefilter, then exact anti-join for
+        # maybe-seen (cfg.seen_filter picks the family; identical contract:
+        # no false negatives, exact check settles) ---
+        if self._filter_total_bytes() <= cfg.bloom_broadcast_max_bytes:
             # small filter: collect+broadcast, probe with zero extra shuffle
-            bloom = self._load_bloom()
-            bbc = self.spark.sparkContext.broadcast(bloom)
+            filt = self._load_bloom()
+            bbc = self.spark.sparkContext.broadcast(filt)
 
             @F.pandas_udf(T.BooleanType())
             def maybe_seen_udf(h: pd.Series) -> pd.Series:
@@ -589,6 +629,9 @@ class CrawlEngine:
 
             flagged = candidates.withColumn(
                 "maybe_seen", maybe_seen_udf("url_hash"))
+        elif cfg.seen_filter == "cuckoo":
+            flagged = probe_maybe_seen_cuckoo_df(
+                candidates, self._read("bloom_shards"), cfg.bloom_n_shards)
         else:
             # cluster-scale filter: distributed cogroup probe — shards stay
             # on executors, candidates shuffle once by shard_id

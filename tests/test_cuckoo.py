@@ -1,0 +1,152 @@
+"""Cuckoo URL-seen prefilter (frontier/cuckoo.py): no false negatives
+ever (including stash-overflow load and blob merges), deletion works,
+the distributed cogroup probe matches the driver-broadcast probe, and a
+crawl with seen_filter='cuckoo' is bit-identical to the bloom crawl —
+the filter family is a performance knob, never a semantics knob."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from datascrapexter_spark.frontier.cuckoo import (
+    CuckooShard,
+    CuckooShards,
+    build_shard_blob,
+    merge_shard_blobs,
+    probe_maybe_seen_cuckoo_df,
+    probe_shard_blob,
+)
+
+
+def _hashes(n, seed):
+    rng = np.random.RandomState(seed)
+    return rng.randint(-(1 << 62), 1 << 62, size=n, dtype=np.int64)
+
+
+def test_no_false_negatives_and_low_fpr():
+    shard = CuckooShard(n_buckets=1 << 12, slots=4)  # 16384 capacity
+    inserted = _hashes(8000, 1)  # ~50% load
+    shard.add_hashes(inserted)
+    assert shard.contains(inserted).all()
+    other = _hashes(20000, 2)
+    fresh = other[~np.isin(other, inserted)]
+    fpr = shard.contains(fresh).mean()
+    # 16-bit fingerprints, 2 buckets x 4 slots: expected FPR ~ 8*2^-16
+    assert fpr < 0.005
+
+
+def test_overflow_stash_keeps_no_false_negative_guarantee():
+    # 256 slots total, 1000 inserts: way past full — stash must absorb
+    shard = CuckooShard(n_buckets=1 << 6, slots=4)
+    inserted = _hashes(1000, 3)
+    shard.add_hashes(inserted)
+    assert shard.contains(inserted).all()
+    assert len(shard.stash) > 0
+    # roundtrip through the blob keeps the stash
+    blob = shard.to_blob()
+    assert probe_shard_blob(blob, inserted).all()
+
+
+def test_blob_roundtrip_and_merge_is_union():
+    a_hashes, b_hashes = _hashes(3000, 4), _hashes(3000, 5)
+    blob = merge_shard_blobs(
+        build_shard_blob(a_hashes, n_buckets=1 << 12),
+        build_shard_blob(b_hashes, n_buckets=1 << 12))
+    assert probe_shard_blob(blob, a_hashes).all()
+    assert probe_shard_blob(blob, b_hashes).all()
+    fresh = _hashes(10000, 6)
+    fresh = fresh[~np.isin(fresh, np.r_[a_hashes, b_hashes])]
+    assert probe_shard_blob(blob, fresh).mean() < 0.005
+
+
+def test_duplicate_inserts_are_set_semantics():
+    shard = CuckooShard(n_buckets=1 << 8, slots=4)
+    h = _hashes(200, 7)
+    for _ in range(5):
+        shard.add_hashes(h)  # re-inserting must not fill the table
+    occupancy = int((shard.table != 0).sum()) + len(shard.stash)
+    assert occupancy == len(np.unique(h))
+    assert shard.contains(h).all()
+
+
+def test_deletion_forgets_members_and_keeps_others():
+    shard = CuckooShard(n_buckets=1 << 12, slots=4)
+    keep, drop = _hashes(2000, 8), _hashes(2000, 9)
+    shard.add_hashes(np.r_[keep, drop])
+    removed = shard.remove_hashes(drop)
+    assert removed.all()
+    # every kept member still present (deletion can't cause false negatives
+    # for remaining members)
+    assert shard.contains(keep).all()
+    # dropped members now read as absent except fingerprint collisions
+    assert shard.contains(drop).mean() < 0.01
+    # deleting again: nothing left to remove
+    assert not shard.remove_hashes(drop).any()
+
+
+def test_sharded_handle_roundtrip_and_delete():
+    cs = CuckooShards(n_shards=4, n_buckets=1 << 10)
+    h = _hashes(5000, 10)
+    cs.add_hashes(h)
+    assert cs.maybe_seen(h).all()
+    # persistence rows -> rebuild (two rounds of partials per shard)
+    h2 = _hashes(2000, 11)
+    cs2 = CuckooShards(n_shards=4, n_buckets=1 << 10)
+    cs2.add_hashes(h2)
+    rows = cs.to_rows(0) + cs2.to_rows(1)
+    merged = CuckooShards.from_rows(rows, n_shards=4, n_buckets=1 << 10)
+    assert merged.maybe_seen(h).all()
+    assert merged.maybe_seen(h2).all()
+    assert merged.remove_hashes(h2[:100]).all()
+    assert merged.maybe_seen(h).all()
+
+
+def test_cogroup_probe_matches_broadcast(spark):
+    n_shards = 4
+    seen = _hashes(500, 12)
+    cand = np.concatenate([seen[:200], _hashes(300, 13)])
+    cs = CuckooShards(n_shards=n_shards, n_buckets=1 << 10)
+    cs.add_hashes(seen)
+    shards_df = spark.createDataFrame(
+        cs.to_rows(0), "shard_id int, round int, bitset binary")
+    cand_df = spark.createDataFrame(
+        [(int(h),) for h in cand], "url_hash long")
+    got = {r["url_hash"]: r["maybe_seen"]
+           for r in probe_maybe_seen_cuckoo_df(
+               cand_df, shards_df, n_shards).collect()}
+    expect = cs.maybe_seen(cand)
+    assert len(got) == len(cand)
+    for h, e in zip(cand, expect):
+        assert got[int(h)] == bool(e)
+    assert all(got[int(h)] for h in seen[:200])
+
+
+def test_crawl_identical_bloom_vs_cuckoo_both_probe_paths(spark, tmp_path):
+    from datascrapexter_spark.frontier.scheduler import CrawlConfig, CrawlEngine
+    from datascrapexter_spark.frontier.state import StateStore
+    from tests.webgen import make_web
+
+    pages_rows, seeds_rows, robots = make_web(n_hosts=3, pages_per_host=6)
+    pages = spark.createDataFrame(
+        pages_rows, "url string, warc_ts timestamp, html binary, "
+                    "text string, lang string")
+    seeds = spark.createDataFrame(seeds_rows, "url string, priority int")
+
+    logs = {}
+    arms = {
+        "bloom": dict(seen_filter="bloom"),
+        "cuckoo": dict(seen_filter="cuckoo"),
+        # max_bytes=0 forces the distributed cogroup probe path
+        "cuckoo_dist": dict(seen_filter="cuckoo",
+                            bloom_broadcast_max_bytes=0),
+    }
+    for name, kw in arms.items():
+        cfg = CrawlConfig(max_rounds=3, bloom_n_shards=4,
+                          bloom_m_bits=1 << 12,
+                          cuckoo_n_buckets=1 << 10, **kw)
+        eng = CrawlEngine(spark, StateStore(str(tmp_path / name)), pages,
+                          robots, cfg)
+        eng.run(seeds, max_rounds=3)
+        logs[name] = [tuple(r) for r in eng.crawl_log().collect()]
+    assert logs["bloom"] == logs["cuckoo"] == logs["cuckoo_dist"]
+    assert len(logs["bloom"]) > 0
