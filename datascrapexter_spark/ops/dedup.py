@@ -532,6 +532,13 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     for large-star/small-star [Kiveris et al., "Connected Components in
     MapReduce and Beyond"], same contract; duplicate clusters never need
     it.) Deterministic: min over longs.
+
+    Scale: the loop runs over PAIR-GRAPH nodes only. Isolated documents
+    (no near-dup pair — the overwhelming majority of a web corpus) are
+    their own component by definition, so iterating them would make
+    every round O(corpus) for nothing; they join the result via one
+    final left join against the converged pair-node labels. Per-round
+    cost is O(|pairs|) at ANY corpus size.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -540,8 +547,9 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # edges are symmetric, so `src` alone covers every paired node
     labels = (
-        nodes.select(F.col(id_col).alias("node")).distinct()
+        edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
@@ -562,8 +570,15 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         n_changed = upd.filter(F.col("new_label") != F.col("label")).count()
         labels = upd.select("node", F.col("new_label").alias("label"))
         if n_changed == 0:
-            return labels.select(F.col("node").alias(id_col),
-                                 F.col("label").alias("cluster_id"))
+            # isolated nodes self-label via one left join (pair-node
+            # labels are pair-bounded — far smaller than the corpus)
+            return (
+                nodes.select(F.col(id_col).alias("node")).distinct()
+                .join(labels, "node", "left")
+                .select(
+                    F.col("node").alias(id_col),
+                    F.coalesce("label", F.col("node")).alias("cluster_id"))
+            )
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
         f"(graph diameter exceeds the cap — use the star variant)")
