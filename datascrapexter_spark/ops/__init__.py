@@ -15,6 +15,7 @@ north rule.
 from . import (  # noqa: F401
     dedup,
     enrich,
+    graphrank,
     multimodal,
     pii,
     pipeline,

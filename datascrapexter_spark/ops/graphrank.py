@@ -1,0 +1,130 @@
+"""Link-graph PageRank for crawl prioritization.
+
+The reference schedules fetches by config-declared priority plus politeness
+(internal/scraper/engine.go:720-792 round loop); it has no global link-graph
+signal. At 10^10-URL frontier scale the standard upgrade is link-graph
+authority (PageRank / OPIC) feeding the frontier's priority column, so this
+module is a first-class extension, not a port.
+
+Two implementations share one plan shape (edges ⋈ ranks equi-join on src →
+groupBy dst partial agg → left join back to nodes, iterated a fixed number
+of times, driver loop only — no collect, no crossJoin):
+
+- ``pagerank_micro`` — **fixed-point integer arithmetic** (ranks held in
+  micro-units, BIGINT). Integer sums are associative, so the result is
+  bit-identical regardless of partitioning / aggregation order; this is the
+  oracle-gated variant (q47), its DuckDB twin replays the same recurrence in
+  generated CTEs (oracles._pagerank_sql).
+- ``pagerank_double`` — plain float arithmetic, one fewer cast per edge; the
+  deployment fast path. Not oracle-gated (float summation order), but the
+  induced ranking is asserted to match the exact variant in tests.
+
+Scale notes (100 TB / 10^10 nodes):
+- the edge table is the big side; it is repartitioned by ``src`` ONCE and
+  persisted, so every iteration's join reuses the same partitioning and only
+  the (much smaller) rank table shuffles per iteration. At rest you'd bucket
+  edges by src (same layout as the url_seen bucketed table,
+  frontier/state.py) to remove even that one-time shuffle.
+- per-iteration lineage is cut with localCheckpoint every
+  ``checkpoint_every`` iterations so long runs don't accumulate a
+  1000-stage plan.
+- fixed-point micro-units bound: rank mass is n * 1e6; a node's in-contrib
+  times the damping numerator must fit int64, which holds up to ~1e12 total
+  mass — beyond that the double variant (or 1e3 scaling) is the documented
+  path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000          # micro-units per 1.0 of rank
+TELEPORT_MICRO = 150_000   # (1 - damping) * SCALE
+DAMP_MICRO = 850_000       # damping * SCALE
+
+
+def synth_link_edges(docs: DataFrame, n_nodes: int, id_col: str = "doc_id",
+                     out_deg: int = 4) -> DataFrame:
+    """Deterministic synthetic link graph over a dense 0..n-1 id space:
+    each node links to ``out_deg`` md5-derived targets (distinct, self-loops
+    kept). Mirrors the DuckDB derivation in oracles._pagerank_sql so both
+    engines walk the identical graph."""
+    e = docs.select(
+        F.col(id_col).alias("src"),
+        F.explode(F.sequence(F.lit(0), F.lit(out_deg - 1))).alias("i"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("src").cast("string"), F.lit(":"),
+                           F.col("i").cast("string"))), 1, 8),
+        16, 10).cast("long")
+    return e.select("src", (h % F.lit(n_nodes)).alias("dst")).distinct()
+
+
+def _prepared_edges(edges: DataFrame) -> DataFrame:
+    """Attach out-degree and co-partition by src so every iteration's
+    rank-join reuses one layout. Persisted: scanned ``iters`` times."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    return edges.join(deg, "src").repartition("src").persist()
+
+
+def pagerank_micro(nodes: DataFrame, edges: DataFrame, iters: int = 5,
+                   node_col: str = "node",
+                   checkpoint_every: int = 10) -> DataFrame:
+    """Exact fixed-point PageRank: rank held as BIGINT micro-units.
+
+    Recurrence (all integer, order-independent):
+      contrib(v) = sum over in-edges (u,v) of  rank(u) div out_deg(u)
+      rank'(v)   = TELEPORT_MICRO + (DAMP_MICRO * contrib(v)) div SCALE
+    Dangling mass is dropped (documented rule; the oracle replays it).
+    """
+    ed = _prepared_edges(edges)
+    ranks = nodes.select(F.col(node_col).alias("node"),
+                         F.lit(SCALE).cast("long").alias("rank_micro"))
+    base = nodes.select(F.col(node_col).alias("node"))
+    for it in range(iters):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(ed.dst, F.expr("rank_micro div out_deg").alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            base.join(contrib, base.node == contrib.dst, "left")
+            .select(
+                base.node,
+                (F.lit(TELEPORT_MICRO)
+                 + F.expr(f"({DAMP_MICRO} * coalesce(contrib, 0L))"
+                          f" div {SCALE}")).cast("long").alias("rank_micro"))
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def pagerank_double(nodes: DataFrame, edges: DataFrame, iters: int = 5,
+                    node_col: str = "node", damping: float = 0.85,
+                    checkpoint_every: int = 10) -> DataFrame:
+    """Deployment fast path: identical plan shape, float arithmetic.
+    Returns (node, rank double). Ranking parity with pagerank_micro is
+    asserted in tests, values are not oracle-gated (summation order)."""
+    ed = _prepared_edges(edges)
+    ranks = nodes.select(F.col(node_col).alias("node"),
+                         F.lit(1.0).alias("rank"))
+    base = nodes.select(F.col(node_col).alias("node"))
+    for it in range(iters):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(ed.dst, (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst").agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            base.join(contrib, base.node == contrib.dst, "left")
+            .select(base.node,
+                    (F.lit(1.0 - damping)
+                     + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+                     ).alias("rank"))
+        )
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            ranks = ranks.localCheckpoint()
+    return ranks

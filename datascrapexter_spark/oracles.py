@@ -835,6 +835,34 @@ FROM sc
 """
 
 
+def _pagerank_sql(iters: int = 5, out_deg: int = 4) -> str:
+    """CTE replay of ops.graphrank.pagerank_micro: same md5-derived edges,
+    same integer recurrence (BIGINT micro-units, ``//`` floor division) —
+    exact regardless of evaluation order, so no float tolerance needed."""
+    from .ops.graphrank import DAMP_MICRO, SCALE, TELEPORT_MICRO
+    parts = [
+        "WITH nn AS (SELECT count(*) AS n FROM documents)",
+        "edges AS (SELECT DISTINCT doc_id AS src, "
+        "('0x'||substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR),1,8))::BIGINT"
+        f" % (SELECT n FROM nn) AS dst FROM documents, range({out_deg}) t(i))",
+        "deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)",
+        f"r0 AS (SELECT doc_id AS node, {SCALE}::BIGINT AS rank_micro"
+        " FROM documents)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"c{k} AS (SELECT e.dst,"
+            " sum(r.rank_micro // d.out_deg) AS contrib"
+            " FROM edges e JOIN deg d USING (src)"
+            f" JOIN r{k - 1} r ON r.node = e.src GROUP BY e.dst)")
+        parts.append(
+            f"r{k} AS (SELECT d.doc_id AS node,"
+            f" ({TELEPORT_MICRO} + ({DAMP_MICRO} * coalesce(c.contrib, 0))"
+            f" // {SCALE})::BIGINT AS rank_micro"
+            f" FROM documents d LEFT JOIN c{k} c ON c.dst = d.doc_id)")
+    return ",\n".join(parts) + f"\nSELECT node, rank_micro FROM r{iters}"
+
+
 # ---------------------------------------------------------------------------
 # the catalog
 # ---------------------------------------------------------------------------
@@ -979,6 +1007,7 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q44_token_budget": _TOKEN_BUDGET_SQL,
     "q45_staged_pipeline": _staged_pipeline_sql(),
     "q46_gopher_filter": _gopher_filter_sql(),
+    "q47_pagerank_priority": _pagerank_sql(),
     "q15_ngram_jaccard": _ngram_jaccard_sql(0.6),
     "q16_simhash": _simhash_sql(32, 3),
     "q17_embedding_topk": _cosine_topk_sql(5, 10),

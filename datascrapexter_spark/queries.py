@@ -25,7 +25,7 @@ from .extract.config import FieldConfig
 from .extract.engine import extract_fields_df
 from .functions.transforms import compile_chain
 from .functions.urlnorm import canonicalize_struct_udf
-from .ops import dedup, similarity, textstats
+from .ops import dedup, graphrank, similarity, textstats
 
 EMB_DIM = 64
 
@@ -564,6 +564,17 @@ def q46_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(cols["reasons"], ",").alias("reasons"))
 
 
+def q47_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank feeding frontier priority: a deterministic
+    md5-derived link graph over documents, 5 power iterations in exact
+    fixed-point micro-units (integer sums are order-independent, so the
+    result is bit-identical to the oracle's CTE replay)."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = graphrank.synth_link_edges(docs, n_nodes=n)
+    return graphrank.pagerank_micro(docs, edges, iters=5, node_col="doc_id")
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1054,5 +1065,6 @@ QUERIES = {
     "q44_token_budget": q44_token_budget,
     "q45_staged_pipeline": q45_staged_pipeline,
     "q46_gopher_filter": q46_gopher_filter,
+    "q47_pagerank_priority": q47_pagerank_priority,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

@@ -1,0 +1,85 @@
+"""Link-graph PageRank (ops/graphrank.py) — exactness properties of the
+fixed-point variant, ranking parity of the float fast path, and the
+plan-shape guarantees (edge side partitioned once, no crossJoin, no
+collect in the iteration loop). Cross-engine exactness is gated by q47."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datascrapexter_spark.ops import graphrank
+
+N = 200
+
+
+@pytest.fixture(scope="module")
+def nodes(spark):
+    return spark.range(N).select(F.col("id").alias("doc_id"))
+
+
+@pytest.fixture(scope="module")
+def edges(spark, nodes):
+    return graphrank.synth_link_edges(nodes, n_nodes=N).persist()
+
+
+def test_edges_deterministic_and_in_range(edges):
+    rows = {(r.src, r.dst) for r in edges.collect()}
+    rows2 = {(r.src, r.dst) for r in edges.collect()}
+    assert rows == rows2
+    assert all(0 <= d < N for _, d in rows)
+    # out_deg=4 draws minus rare collisions
+    assert len(rows) > 3.5 * N
+
+
+def test_micro_ranks_exact_and_stable(spark, nodes, edges):
+    a = graphrank.pagerank_micro(nodes, edges, iters=5, node_col="doc_id")
+    b = graphrank.pagerank_micro(
+        nodes.repartition(7), edges.repartition(11), iters=5,
+        node_col="doc_id")
+    ra = {r.node: r.rank_micro for r in a.collect()}
+    rb = {r.node: r.rank_micro for r in b.collect()}
+    # partitioning-independent: integer sums are associative
+    assert ra == rb
+    assert len(ra) == N
+    # rank mass stays near n * SCALE (floor losses + dangling-free graph);
+    # every node keeps at least the teleport term
+    total = sum(ra.values())
+    assert 0.9 * N * graphrank.SCALE < total <= N * graphrank.SCALE
+    assert min(ra.values()) >= graphrank.TELEPORT_MICRO
+
+
+def test_double_path_matches_exact_ranking(nodes, edges):
+    exact = graphrank.pagerank_micro(nodes, edges, iters=5,
+                                     node_col="doc_id")
+    fast = graphrank.pagerank_double(nodes, edges, iters=5,
+                                     node_col="doc_id")
+    e = {r.node: r.rank_micro for r in exact.collect()}
+    f = {r.node: r.rank for r in fast.collect()}
+    # values agree to float precision (micro-unit quantization ~1e-6)
+    for n in e:
+        assert math.isclose(e[n] / graphrank.SCALE, f[n], abs_tol=5e-5)
+    # induced top-10 ordering identical (ties broken by node id)
+    top_e = sorted(e, key=lambda n: (-e[n], n))[:10]
+    top_f = sorted(f, key=lambda n: (-f[n], n))[:10]
+    assert top_e == top_f
+
+
+def test_iteration_plan_shape(nodes, edges):
+    ranks = graphrank.pagerank_micro(nodes, edges, iters=3,
+                                     node_col="doc_id")
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the persisted prepared-edge table is reused each iteration
+    assert "InMemoryTableScan" in plan
+
+
+def test_checkpoint_bounds_lineage(nodes, edges):
+    ranks = graphrank.pagerank_micro(nodes, edges, iters=4,
+                                     node_col="doc_id", checkpoint_every=2)
+    # lineage cut: the analyzed plan bottoms out at a checkpoint scan,
+    # not 4 stacked join rounds
+    plan = ranks._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan
+    assert len({r.node for r in ranks.collect()}) == N
