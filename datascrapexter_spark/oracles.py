@@ -1008,6 +1008,10 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q45_staged_pipeline": _staged_pipeline_sql(),
     "q46_gopher_filter": _gopher_filter_sql(),
     "q47_pagerank_priority": _pagerank_sql(),
+    "q48_warc_roundtrip": """
+SELECT doc_id, md5(text) AS payload_md5, strlen(text)::BIGINT AS n_bytes
+FROM documents
+""",
     "q15_ngram_jaccard": _ngram_jaccard_sql(0.6),
     "q16_simhash": _simhash_sql(32, 3),
     "q17_embedding_topk": _cosine_topk_sql(5, 10),

@@ -575,6 +575,28 @@ def q47_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphrank.pagerank_micro(docs, edges, iters=5, node_col="doc_id")
 
 
+def q48_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) sink + source round-trip: documents written as
+    gzip-member-per-record response records, read back through the
+    binaryFile + Arrow record-splitter source; payload bytes must come
+    back identical (md5 + octet length vs the raw table)."""
+    from .sources import warc as warcio
+    docs = load(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="dsx-warc-")
+    pages = docs.select(
+        F.concat(F.lit("https://corpus.example.com/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode("text", "utf-8").alias("html"))
+    warcio.write_warc(pages, out, num_files=8)
+    back = warcio.read_warc(spark, out)
+    return back.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.md5("html").alias("payload_md5"),
+        F.octet_length("html").cast("long").alias("n_bytes"))
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1066,5 +1088,6 @@ QUERIES = {
     "q45_staged_pipeline": q45_staged_pipeline,
     "q46_gopher_filter": q46_gopher_filter,
     "q47_pagerank_priority": q47_pagerank_priority,
+    "q48_warc_roundtrip": q48_warc_roundtrip,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

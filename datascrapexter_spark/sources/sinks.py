@@ -35,7 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SUPPORTED_FORMATS = ("json", "jsonl", "csv", "parquet", "stdout", "yaml",
-                     "xml", "sqlite", "jdbc", "postgresql", "excel", "xlsx")
+                     "xml", "sqlite", "jdbc", "postgresql", "excel", "xlsx",
+                     "warc", "warc.gz")
 
 
 def write_output(
@@ -71,6 +72,17 @@ def write_output(
         return
     if path is None:
         raise ValueError(f"format {fmt!r} requires a path")
+    if fmt in ("warc", "warc.gz"):
+        from .warc import write_warc
+
+        write_warc(df, path,
+                   url_col=opts.get("url_col", "url"),
+                   ts_col=opts.get("ts_col"),
+                   payload_col=opts.get("payload_col", "html"),
+                   num_files=opts.get("num_files"),
+                   compress=(fmt == "warc.gz"
+                             or bool(opts.get("compress", True))))
+        return
     if fmt == "sqlite":
         from .dbsinks import write_sqlite
 
