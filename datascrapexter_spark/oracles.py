@@ -1008,6 +1008,41 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q45_staged_pipeline": _staged_pipeline_sql(),
     "q46_gopher_filter": _gopher_filter_sql(),
     "q47_pagerank_priority": _pagerank_sql(),
+    "q49_surt_cdx": r"""
+WITH raw AS (
+  SELECT o_orderkey,
+         (CASE WHEN o_orderkey % 2 = 0 THEN 'HTTP://' ELSE 'https://' END)
+         || 'WWW.Shop' || (o_custkey % 50) || '.Example.COM'
+         || (CASE WHEN o_orderkey % 2 = 0 THEN ':80' ELSE ':443' END)
+         || '/Items/' || o_orderkey || '/?z=9&A=1&m=5#frag' AS url,
+         o_orderdate AS ts
+  FROM orders
+), parts AS (
+  SELECT url, ts, u,
+         regexp_extract(u, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+         regexp_extract(u, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS hostport,
+         regexp_extract(u, '^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?', 1) AS path,
+         regexp_extract(u, '\?([^#]*)', 1) AS query
+  FROM (SELECT url, ts, regexp_replace(lower(url), '#.*$', '') AS u FROM raw)
+), hostfix AS (
+  SELECT *, regexp_replace(
+    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+         ELSE hostport END, '^www\.', '') AS host
+  FROM parts
+)
+SELECT array_to_string(list_reverse(string_split(
+         regexp_replace(host, ':[0-9]+$', ''), '.')), ',')
+       || regexp_extract(host, '(:[0-9]+)$', 1) || ')'
+       || path
+       || (CASE WHEN query = '' THEN ''
+           ELSE '?' || array_to_string(list_sort(string_split(query, '&')),
+                                       '&') END) AS surt_key,
+       epoch_us(ts) AS ts_us,
+       md5(url) AS digest,
+       url
+FROM hostfix
+""",
     "q48_warc_roundtrip": """
 SELECT doc_id, md5(text) AS payload_md5, strlen(text)::BIGINT AS n_bytes
 FROM documents

@@ -597,6 +597,29 @@ def q48_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("html").cast("long").alias("n_bytes"))
 
 
+def q49_surt_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT keys + CDX-style capture rows over synthesized raw URLs
+    (mixed-case, default ports on both schemes, unsorted params, www
+    prefix, fragment). The oracle re-derives the key independently with
+    DuckDB list/regex functions — not a hardcoded expected string."""
+    from .functions.surt import cdx_index
+    orders = load(spark, sf_dir, "orders")
+    raw = F.concat(
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("HTTP://"))
+        .otherwise(F.lit("https://")),
+        F.lit("WWW.Shop"), (F.col("o_custkey") % 50).cast("string"),
+        F.lit(".Example.COM"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(":80"))
+        .otherwise(F.lit(":443")),
+        F.lit("/Items/"), F.col("o_orderkey").cast("string"),
+        F.lit("/?z=9&A=1&m=5#frag"))
+    df = orders.select("o_orderkey", raw.alias("url"),
+                       F.col("o_orderdate").alias("ts"))
+    out = cdx_index(df, url_col="url", ts_col="ts")
+    return out.select("surt_key", _us(F.col("ts")).alias("ts_us"),
+                      "digest", "url")
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1089,5 +1112,6 @@ QUERIES = {
     "q46_gopher_filter": q46_gopher_filter,
     "q47_pagerank_priority": q47_pagerank_priority,
     "q48_warc_roundtrip": q48_warc_roundtrip,
+    "q49_surt_cdx": q49_surt_cdx,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
