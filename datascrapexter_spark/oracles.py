@@ -1043,6 +1043,36 @@ SELECT array_to_string(list_reverse(string_split(
        url
 FROM hostfix
 """,
+    "q50_revisit_priority": """
+WITH h AS (
+  SELECT 'https://h' || (user_id % 40) || '.example.net/p/'
+         || (event_id % 25) AS url,
+         ts, epoch_us(ts) AS ts_us, event_id, md5(event_type) AS digest
+  FROM events
+), o AS (
+  SELECT url, ts_us,
+         CASE WHEN lag(digest) OVER w IS NOT NULL
+               AND lag(digest) OVER w <> digest THEN 1 ELSE 0 END AS changed
+  FROM h
+  WINDOW w AS (PARTITION BY url ORDER BY ts, event_id)
+), p AS (
+  SELECT url, count(*) AS n_fetches, sum(changed)::BIGINT AS n_changes,
+         max(ts_us) AS last_us
+  FROM o GROUP BY url
+), nw AS (SELECT max(epoch_us(ts)) AS now_us FROM events)
+SELECT url, n_fetches, n_changes,
+       (CASE WHEN n_fetches > 1
+             THEN (1000000 * n_changes) // (n_fetches - 1)
+             ELSE 500000 END)::BIGINT AS change_rate_micro,
+       (((SELECT now_us FROM nw) - last_us) // 3600000000)::BIGINT
+         AS age_hours,
+       ((CASE WHEN n_fetches > 1
+              THEN (1000000 * n_changes) // (n_fetches - 1)
+              ELSE 500000 END)
+        * (((SELECT now_us FROM nw) - last_us) // 3600000000))::BIGINT
+         AS priority_micro
+FROM p
+""",
     "q48_warc_roundtrip": """
 SELECT doc_id, md5(text) AS payload_md5, strlen(text)::BIGINT AS n_bytes
 FROM documents

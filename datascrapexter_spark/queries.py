@@ -620,6 +620,22 @@ def q49_surt_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "digest", "url")
 
 
+def q50_revisit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-based recrawl priority (Cho/Garcia-Molina revisit policy,
+    integer-exact) over a fetch history derived from events: change rate
+    estimated from digest flips per URL, staleness from last-fetch age."""
+    from .frontier.revisit import revisit_priority
+    ev = load(spark, sf_dir, "events")
+    _utc(spark)
+    hist = ev.select(
+        F.concat(F.lit("https://h"), (F.col("user_id") % 40).cast("string"),
+                 F.lit(".example.net/p/"),
+                 (F.col("event_id") % 25).cast("string")).alias("url"),
+        F.col("ts"), F.col("event_id"),
+        F.md5(F.col("event_type")).alias("digest"))
+    return revisit_priority(hist, tiebreak_col="event_id")
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1113,5 +1129,6 @@ QUERIES = {
     "q47_pagerank_priority": q47_pagerank_priority,
     "q48_warc_roundtrip": q48_warc_roundtrip,
     "q49_surt_cdx": q49_surt_cdx,
+    "q50_revisit_priority": q50_revisit_priority,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
