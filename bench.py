@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "q36_c4_line_filter",
     "q39_paragraph_dedup",
     "q43_tfidf_keywords",
+    "q47_pagerank_priority",
+    "q49_surt_cdx",
+    "q50_revisit_priority",
 ]
 
 from datascrapexter_spark.benchjob import (  # noqa: E402
