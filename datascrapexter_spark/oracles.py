@@ -1073,6 +1073,83 @@ SELECT url, n_fetches, n_changes,
          AS priority_micro
 FROM p
 """,
+    "q51_content_sniff": """
+WITH d AS (
+  SELECT doc_id, doc_id % 10 AS k, doc_id % 3 AS s FROM documents
+)
+SELECT doc_id,
+  CASE k WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+         WHEN 2 THEN 'image/jpeg' WHEN 3 THEN 'application/pdf'
+         WHEN 4 THEN 'application/zip' WHEN 5 THEN 'application/gzip'
+         WHEN 6 THEN 'text/html' WHEN 7 THEN 'application/xml'
+         WHEN 8 THEN 'application/json' ELSE 'text/plain' END AS mime,
+  CASE WHEN k <= 5 THEN NULL
+       WHEN k = 6 THEN (CASE s WHEN 0 THEN 'utf-8' WHEN 1 THEN 'iso-8859-1'
+                               ELSE 'windows-1252' END)
+       WHEN k = 7 THEN 'utf-8'
+       WHEN k = 8 THEN 'us-ascii'
+       ELSE (CASE s WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16le'
+                    ELSE 'us-ascii' END) END AS charset,
+  (k = 9 AND s IN (0, 1)) AS has_bom,
+  (k >= 6) AS is_text
+FROM d
+""",
+    "q52_trap_detection": r"""
+WITH raw AS (
+  SELECT o_orderkey,
+    CASE o_orderkey % 5
+      WHEN 0 THEN 'https://shop' || (o_custkey % 50) || '.example.com/items/'
+                  || o_orderkey || '?page=2'
+      WHEN 1 THEN 'https://trap.example.com'
+                  || repeat('/cat/list', CAST(2 + o_orderkey % 3 AS INT))
+      WHEN 2 THEN 'https://cal.example.com'
+                  || (CASE WHEN o_orderkey % 2 = 0 THEN '/archive/a/b/c'
+                      ELSE '' END)
+                  || '/2024/' || (1 + o_orderkey % 12) || '/'
+                  || (1 + o_orderkey % 28)
+      WHEN 3 THEN 'https://s.example.com/p/' || o_orderkey
+                  || '?jsessionid=' || md5(o_orderkey::VARCHAR) || '&x=1'
+      ELSE 'https://q.example.com/search?'
+           || 'p0=0&p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7&p8=8&p9=9'
+    END AS url
+  FROM orders
+), parts AS (
+  SELECT o_orderkey, url,
+    regexp_extract(url, '^[a-z][a-z0-9+.\-]*://[^/?#]+(/[^?#]*)?', 1)
+      AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS q
+  FROM raw
+), feat AS (
+  SELECT *,
+    list_filter(string_split(path, '/'), x -> x <> '') AS segs,
+    CASE WHEN q = '' THEN [] ELSE string_split(q, '&') END AS params
+  FROM parts
+), flags AS (
+  SELECT o_orderkey, url,
+    len(segs) AS depth,
+    (len(segs) - len(list_distinct(segs))) >= 2 AS repeat_trap,
+    (regexp_matches(path, '/[0-9]{4}/[0-9]{1,2}/[0-9]{1,2}(/|$)')
+     AND len(segs) > 6) AS calendar_trap,
+    len(list_filter(params, p ->
+      lower(regexp_extract(p, '^([^=]*)', 1)) IN
+        ('sessionid','phpsessid','jsessionid','sid','session','sess','token')
+      OR regexp_matches(lower(regexp_extract(p, '=(.*)$', 1)),
+                        '^[0-9a-f]{32}$')
+      OR regexp_matches(lower(regexp_extract(p, '=(.*)$', 1)),
+         '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$')
+    )) > 0 AS session_param,
+    len(segs) > 12 AS deep_path,
+    len(params) > 8 AS param_blowup
+  FROM feat
+)
+SELECT o_orderkey, url, depth::INT AS path_depth, repeat_trap,
+  calendar_trap, session_param, param_blowup,
+  (repeat_trap::INT * 40 + calendar_trap::INT * 30 + session_param::INT * 20
+   + deep_path::INT * 20 + param_blowup::INT * 10)::INT AS trap_score,
+  ((repeat_trap::INT * 40 + calendar_trap::INT * 30 + session_param::INT * 20
+    + deep_path::INT * 20 + param_blowup::INT * 10) >= 40) AS is_trap
+FROM flags
+""",
     "q48_warc_roundtrip": """
 SELECT doc_id, md5(text) AS payload_md5, strlen(text)::BIGINT AS n_bytes
 FROM documents

@@ -636,6 +636,90 @@ def q50_revisit_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revisit_priority(hist, tiebreak_col="event_id")
 
 
+def q51_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte MIME + BOM/meta charset sniffing (functions/sniff.py)
+    over payloads synthesized deterministically from documents: ten kinds
+    (PNG/GIF/JPEG/PDF/ZIP/gzip/HTML/XML/JSON/plain incl. UTF-16LE + BOM
+    variants) built with binary concat — the sniffer sees only bytes; the
+    oracle re-derives the expected labels from the generating formula."""
+    from .functions.sniff import sniff_cols
+
+    docs = load(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 10
+    s = F.col("doc_id") % 3
+    utf8 = F.encode("text", "UTF-8")
+    html_cs = (F.when(s == 0, "utf-8").when(s == 1, "iso-8859-1")
+               .otherwise("windows-1252"))
+    payload = (
+        F.when(k == 0, F.concat(F.lit(b"\x89PNG\r\n\x1a\n"), utf8))
+        .when(k == 1, F.concat(F.lit(b"GIF89a"), utf8))
+        .when(k == 2, F.concat(F.lit(b"\xff\xd8\xff\xe0"), utf8))
+        .when(k == 3, F.concat(F.lit(b"%PDF-1.7\n"), utf8))
+        .when(k == 4, F.concat(F.lit(b"PK\x03\x04"), utf8))
+        .when(k == 5, F.concat(F.lit(b"\x1f\x8b\x08"), utf8))
+        .when(k == 6, F.encode(F.concat(
+            F.lit('<!DOCTYPE html><html><head><meta charset="'), html_cs,
+            F.lit('"></head><body>'), F.col("text"),
+            F.lit("</body></html>")), "UTF-8"))
+        .when(k == 7, F.encode(F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?><root>'),
+            F.col("text"), F.lit("</root>")), "UTF-8"))
+        .when(k == 8, F.encode(F.concat(
+            F.lit('{"body": "'), F.col("text"), F.lit('"}')), "UTF-8"))
+        .when(s == 0, F.concat(F.lit(b"\xef\xbb\xbf"), utf8))
+        .when(s == 1, F.concat(F.lit(b"\xff\xfe"),
+                               F.encode("text", "UTF-16LE")))
+        .otherwise(utf8))
+    cols = sniff_cols(payload)
+    return docs.select(
+        "doc_id", *[v.alias(name) for name, v in cols.items()])
+
+
+def q52_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-trap scoring (frontier/traps.py) over URLs synthesized from
+    orders in five shapes: normal, repeating-segment trap, calendar trap
+    (depth-gated), session-id params, parameter blowup. The oracle
+    re-derives every flag from the URL string with independent DuckDB
+    regex/list expressions — not from the generating kind."""
+    from .frontier.traps import trap_cols
+
+    orders = load(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    ckey = F.col("o_custkey")
+    url = (
+        F.when(okey % 5 == 0, F.concat(
+            F.lit("https://shop"), (ckey % 50).cast("string"),
+            F.lit(".example.com/items/"), okey.cast("string"),
+            F.lit("?page=2")))
+        .when(okey % 5 == 1, F.concat(
+            F.lit("https://trap.example.com"),
+            F.expr("repeat('/cat/list', 2 + o_orderkey % 3)")))
+        .when(okey % 5 == 2, F.concat(
+            F.lit("https://cal.example.com"),
+            F.when(okey % 2 == 0, "/archive/a/b/c").otherwise(""),
+            F.lit("/2024/"), (1 + okey % 12).cast("string"),
+            F.lit("/"), (1 + okey % 28).cast("string")))
+        .when(okey % 5 == 3, F.concat(
+            F.lit("https://s.example.com/p/"), okey.cast("string"),
+            F.lit("?jsessionid="),
+            F.md5(F.encode(okey.cast("string"), "UTF-8")),
+            F.lit("&x=1")))
+        .otherwise(F.concat(
+            F.lit("https://q.example.com/search?"),
+            F.lit("p0=0&p1=1&p2=2&p3=3&p4=4&p5=5&p6=6&p7=7&p8=8&p9=9"))))
+    df = orders.select("o_orderkey", url.alias("url"))
+    cols = trap_cols(F.col("url"))
+    return df.select(
+        "o_orderkey", "url",
+        cols["path_depth"].cast("int").alias("path_depth"),
+        cols["repeat_trap"].alias("repeat_trap"),
+        cols["calendar_trap"].alias("calendar_trap"),
+        cols["session_param"].alias("session_param"),
+        cols["param_blowup"].alias("param_blowup"),
+        cols["trap_score"].cast("int").alias("trap_score"),
+        cols["is_trap"].alias("is_trap"))
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1130,5 +1214,7 @@ QUERIES = {
     "q48_warc_roundtrip": q48_warc_roundtrip,
     "q49_surt_cdx": q49_surt_cdx,
     "q50_revisit_priority": q50_revisit_priority,
+    "q51_content_sniff": q51_content_sniff,
+    "q52_trap_detection": q52_trap_detection,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
