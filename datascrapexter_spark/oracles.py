@@ -1150,6 +1150,32 @@ SELECT o_orderkey, url, depth::INT AS path_depth, repeat_trap,
     + deep_path::INT * 20 + param_blowup::INT * 10) >= 40) AS is_trap
 FROM flags
 """,
+    "q53_host_budgets": """
+WITH h AS (
+  SELECT 'h' || (user_id % 40) || '.example.net' AS host,
+         (event_id % 9 = 0)::INT AS e, (event_id % 7 = 0)::INT AS d
+  FROM events
+), a AS (
+  SELECT host, count(*) AS n_fetches,
+         sum(e)::BIGINT AS n_errors, sum(d)::BIGINT AS n_dups
+  FROM h GROUP BY host
+), s AS (
+  SELECT host, n_fetches,
+         (1000000 * n_errors) // n_fetches AS err_ppm,
+         (1000000 * n_dups) // n_fetches AS dup_ppm
+  FROM a
+), sc AS (
+  SELECT *, greatest(
+    ((1000000 - err_ppm) * (1000000 - dup_ppm)) // 1000000,
+    10000)::BIGINT AS score_micro
+  FROM s
+)
+SELECT host, n_fetches, err_ppm::BIGINT AS err_ppm,
+       dup_ppm::BIGINT AS dup_ppm, score_micro,
+       ((100000 * score_micro)
+        // (SELECT sum(score_micro) FROM sc))::BIGINT AS budget
+FROM sc
+""",
     "q48_warc_roundtrip": """
 SELECT doc_id, md5(text) AS payload_md5, strlen(text)::BIGINT AS n_bytes
 FROM documents

@@ -720,6 +720,21 @@ def q52_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols["is_trap"].alias("is_trap"))
 
 
+def q53_host_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host reputation + proportional budget split (frontier/reputation.py)
+    over a fetch history derived from events; error/dup flags come from
+    deterministic event_id residues so per-host rates vary naturally."""
+    from .frontier.reputation import reputation_budgets
+
+    ev = load(spark, sf_dir, "events")
+    hist = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"),
+                 F.lit(".example.net")).alias("host"),
+        (F.col("event_id") % 9 == 0).alias("is_error"),
+        (F.col("event_id") % 7 == 0).alias("is_dup"))
+    return reputation_budgets(hist, total_budget=100_000)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1216,5 +1231,6 @@ QUERIES = {
     "q50_revisit_priority": q50_revisit_priority,
     "q51_content_sniff": q51_content_sniff,
     "q52_trap_detection": q52_trap_detection,
+    "q53_host_budgets": q53_host_budgets,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
