@@ -1176,6 +1176,47 @@ SELECT host, n_fetches, err_ppm::BIGINT AS err_ppm,
         // (SELECT sum(score_micro) FROM sc))::BIGINT AS budget
 FROM sc
 """,
+    "q54_capture_drift": """
+WITH h AS (
+  SELECT 'https://h' || (user_id % 40) || '.example.net/p/'
+         || (event_id % 25) AS url,
+         ts, epoch_us(ts) AS ts_us, event_id,
+         'alpha beta gamma delta w' || (event_id % 5) || ' epsilon zeta w'
+         || (event_id % 3) || ' eta theta iota kappa' AS text
+  FROM events
+), tok AS (
+  SELECT url, ts, ts_us, event_id,
+         regexp_split_to_array(trim(text), '[ \t\n\r]+') AS toks
+  FROM h
+), sh AS (
+  SELECT url, ts, ts_us, event_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS s
+  FROM tok
+), lagd AS (
+  SELECT url, ts_us, s,
+         lag(s) OVER (PARTITION BY url ORDER BY ts, event_id) AS p
+  FROM sh
+), m AS (
+  SELECT url, ts_us, len(s)::INT AS n_shingles,
+         CASE WHEN p IS NULL THEN NULL
+              ELSE len(list_intersect(s, p))::INT END AS overlap,
+         CASE WHEN p IS NULL THEN NULL
+              ELSE (len(s) + len(p) - len(list_intersect(s, p)))::INT
+              END AS union_size
+  FROM lagd
+)
+SELECT url, ts_us, n_shingles, overlap, union_size,
+       (CASE WHEN overlap IS NULL THEN NULL
+             WHEN union_size > 0 THEN (1000000 * overlap) // union_size
+             ELSE 1000000 END)::BIGINT AS jaccard_ppm,
+       (CASE WHEN overlap IS NULL THEN NULL
+             WHEN union_size > 0
+               THEN 1000000 - (1000000 * overlap) // union_size
+             ELSE 0 END)::BIGINT AS drift_ppm
+FROM m
+""",
     "q48_warc_roundtrip": """
 SELECT doc_id, md5(text) AS payload_md5, strlen(text)::BIGINT AS n_bytes
 FROM documents

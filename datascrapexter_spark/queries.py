@@ -735,6 +735,31 @@ def q53_host_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reputation_budgets(hist, total_budget=100_000)
 
 
+def q54_capture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-capture shingle drift (ops/drift.py) over a capture
+    history derived from events: same-URL captures share most tokens and
+    differ in two residue-derived words, so drift_ppm lands strictly
+    between 0 and 10^6 and the integer Jaccard must match exactly."""
+    from .ops.drift import capture_drift
+
+    ev = load(spark, sf_dir, "events")
+    _utc(spark)
+    hist = ev.select(
+        F.concat(F.lit("https://h"), (F.col("user_id") % 40).cast("string"),
+                 F.lit(".example.net/p/"),
+                 (F.col("event_id") % 25).cast("string")).alias("url"),
+        F.col("ts"), F.col("event_id"),
+        F.concat(F.lit("alpha beta gamma delta w"),
+                 (F.col("event_id") % 5).cast("string"),
+                 F.lit(" epsilon zeta w"),
+                 (F.col("event_id") % 3).cast("string"),
+                 F.lit(" eta theta iota kappa")).alias("text"))
+    out = capture_drift(hist, url_col="url", ts_col="ts", text_col="text",
+                        n=3, tiebreak_col="event_id")
+    return out.select("url", _us(F.col("ts")).alias("ts_us"), "n_shingles",
+                      "overlap", "union_size", "jaccard_ppm", "drift_ppm")
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1232,5 +1257,6 @@ QUERIES = {
     "q51_content_sniff": q51_content_sniff,
     "q52_trap_detection": q52_trap_detection,
     "q53_host_budgets": q53_host_budgets,
+    "q54_capture_drift": q54_capture_drift,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
