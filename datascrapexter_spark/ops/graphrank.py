@@ -128,3 +128,35 @@ def pagerank_double(nodes: DataFrame, edges: DataFrame, iters: int = 5,
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def anchor_text_topk(edges: DataFrame, dst_col: str = "dst",
+                     anchor_col: str = "anchor", k: int = 3) -> DataFrame:
+    """Top-k in-link anchor texts per target URL.
+
+    Anchor text is the classic off-page relevance signal (what OTHER
+    pages call a URL); search-oriented crawls aggregate it per target at
+    index time. The reference extracts per-page fields only (no
+    cross-page signal); this is the web-graph companion to
+    ``pagerank_micro``.
+
+    Anchors are normalized (trim, collapse whitespace, lowercase) before
+    counting; ranking is (count DESC, anchor ASC) via row_number so ties
+    are deterministic.
+
+    Scale shape: groupBy(dst, anchor) with map-side partials is the only
+    corpus-sized exchange; the per-dst top-k runs as
+    WindowGroupLimit Partial/Final (each task keeps <= k rows per dst
+    BEFORE the dst exchange — the q43 plan pattern), so the window never
+    materializes a full per-target anchor list.
+    """
+    from pyspark.sql import Window
+
+    norm = F.lower(F.trim(F.regexp_replace(F.col(anchor_col), "\\s+", " ")))
+    agg = (edges
+           .groupBy(F.col(dst_col).alias("dst"), norm.alias("anchor"))
+           .agg(F.count(F.lit(1)).alias("n_links")))
+    w = Window.partitionBy("dst").orderBy(
+        F.col("n_links").desc(), F.col("anchor").asc())
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -1217,6 +1217,36 @@ SELECT url, ts_us, n_shingles, overlap, union_size,
              ELSE 0 END)::BIGINT AS drift_ppm
 FROM m
 """,
+    "q55_anchor_topk": r"""
+WITH e AS (
+  SELECT 'https://t.example.com/p/' || (o_custkey % 200) AS dst,
+         o_orderkey AS k,
+         CASE o_orderkey % 7
+           WHEN 0 THEN 'click here' WHEN 1 THEN 'read more'
+           WHEN 2 THEN 'home page' WHEN 3 THEN 'product page'
+           WHEN 4 THEN 'details' WHEN 5 THEN 'buy now'
+           ELSE 'official site' END AS b
+  FROM orders
+), noisy AS (
+  SELECT dst, k,
+         CASE WHEN k % 2 = 0 THEN '  ' || replace(b, ' ', '   ') || ' '
+              ELSE b END AS x
+  FROM e
+), raw AS (
+  SELECT dst, CASE WHEN k % 3 = 0 THEN upper(x) ELSE x END AS anchor_raw
+  FROM noisy
+), a AS (
+  SELECT dst, lower(trim(regexp_replace(anchor_raw, '\s+', ' ', 'g')))
+           AS anchor,
+         count(*) AS n_links
+  FROM raw GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY dst
+             ORDER BY n_links DESC, anchor) AS rnk
+  FROM a
+)
+SELECT dst, anchor, n_links, rnk::INT AS rank FROM r WHERE rnk <= 3
+""",
     "q48_warc_roundtrip": """
 SELECT doc_id, md5(text) AS payload_md5, strlen(text)::BIGINT AS n_bytes
 FROM documents

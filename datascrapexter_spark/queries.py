@@ -760,6 +760,30 @@ def q54_capture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "overlap", "union_size", "jaccard_ppm", "drift_ppm")
 
 
+def q55_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 in-link anchor texts per target (ops/graphrank.anchor_text_topk)
+    over edges synthesized from orders with deterministic case/whitespace
+    noise, so the normalization path is exercised end-to-end."""
+    orders = load(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    base = (F.when(okey % 7 == 0, "click here")
+            .when(okey % 7 == 1, "read more")
+            .when(okey % 7 == 2, "home page")
+            .when(okey % 7 == 3, "product page")
+            .when(okey % 7 == 4, "details")
+            .when(okey % 7 == 5, "buy now")
+            .otherwise("official site"))
+    spaced = F.when(okey % 2 == 0, F.concat(
+        F.lit("  "), F.replace(base, F.lit(" "), F.lit("   ")),
+        F.lit(" "))).otherwise(base)
+    anchor = F.when(okey % 3 == 0, F.upper(spaced)).otherwise(spaced)
+    edges = orders.select(
+        F.concat(F.lit("https://t.example.com/p/"),
+                 (F.col("o_custkey") % 200).cast("string")).alias("dst"),
+        anchor.alias("anchor"))
+    return graphrank.anchor_text_topk(edges, k=3)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1258,5 +1282,6 @@ QUERIES = {
     "q52_trap_detection": q52_trap_detection,
     "q53_host_budgets": q53_host_budgets,
     "q54_capture_drift": q54_capture_drift,
+    "q55_anchor_topk": q55_anchor_topk,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

@@ -83,3 +83,37 @@ def test_checkpoint_bounds_lineage(nodes, edges):
     plan = ranks._jdf.queryExecution().analyzed().toString()
     assert "LogicalRDD" in plan
     assert len({r.node for r in ranks.collect()}) == N
+
+
+def test_anchor_topk_normalizes_and_ranks(spark):
+    from pyspark.sql import Row
+    edges = spark.createDataFrame([
+        Row(dst="t", anchor="Click  Here"),
+        Row(dst="t", anchor="  click here "),
+        Row(dst="t", anchor="CLICK HERE"),
+        Row(dst="t", anchor="read more"),
+        Row(dst="t", anchor="read more"),
+        Row(dst="t", anchor="about"),
+        Row(dst="t", anchor="zzz"),
+        Row(dst="u", anchor="solo"),
+    ], "dst string, anchor string")
+    out = {(r["dst"], r["rank"]): r for r in
+           graphrank.anchor_text_topk(edges, k=3).collect()}
+    assert out[("t", 1)]["anchor"] == "click here"
+    assert out[("t", 1)]["n_links"] == 3
+    assert out[("t", 2)]["anchor"] == "read more"
+    # count tie between 'about' and 'zzz' broken lexicographically
+    assert out[("t", 3)]["anchor"] == "about"
+    assert ("t", 4) not in out
+    assert out[("u", 1)]["anchor"] == "solo"
+
+
+def test_anchor_topk_uses_window_group_limit(spark):
+    from pyspark.sql import Row
+    edges = spark.createDataFrame([Row(dst="t", anchor="a")],
+                                  "dst string, anchor string")
+    plan = graphrank.anchor_text_topk(edges, k=3)._jdf \
+        .queryExecution().executedPlan().toString()
+    # per-task top-k retention before the dst exchange (q43 pattern)
+    assert "WindowGroupLimit" in plan
+    assert "Python" not in plan
