@@ -1247,6 +1247,35 @@ WITH e AS (
 )
 SELECT dst, anchor, n_links, rnk::INT AS rank FROM r WHERE rnk <= 3
 """,
+    "q56_main_content": """
+WITH p AS (
+  SELECT doc_id,
+    list_filter(string_split(substr(text, 1, 150), ' '), x -> x <> '')
+      AS w1,
+    list_filter(string_split(substr(text, 151, 150), ' '), x -> x <> '')
+      AS w2
+  FROM documents
+), c AS (
+  SELECT doc_id, len(w1) AS n1, len(w2) AS n2,
+         array_to_string(w1, ' ') AS t1, array_to_string(w2, ' ') AS t2
+  FROM p
+)
+SELECT doc_id,
+  concat_ws(chr(10),
+    CASE WHEN n1 >= 10 THEN t1 END,
+    CASE WHEN n2 >= 10 THEN t2 END) AS main_text,
+  (5 + CASE WHEN n2 > 0 THEN 1 ELSE 0 END)::INT AS n_blocks,
+  (CASE WHEN n1 >= 10 THEN 1 ELSE 0 END
+   + CASE WHEN n2 >= 10 THEN 1 ELSE 0 END)::INT AS n_content_blocks,
+  (15 + n1 + n2)::INT AS total_words,
+  (CASE WHEN n1 >= 10 THEN n1 ELSE 0 END
+   + CASE WHEN n2 >= 10 THEN n2 ELSE 0 END)::INT AS content_words,
+  ((1000000 * (15 + n1 + n2
+     - (CASE WHEN n1 >= 10 THEN n1 ELSE 0 END
+        + CASE WHEN n2 >= 10 THEN n2 ELSE 0 END)))
+   // (15 + n1 + n2))::BIGINT AS boiler_ppm
+FROM c
+""",
     "q48_warc_roundtrip": """
 SELECT doc_id, md5(text) AS payload_md5, strlen(text)::BIGINT AS n_bytes
 FROM documents

@@ -784,6 +784,31 @@ def q55_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphrank.anchor_text_topk(edges, k=3)
 
 
+def q56_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal (extract/content.py) over synthesized pages
+    with nav/header/sidebar/footer chrome around two content paragraphs;
+    the oracle re-derives block word counts + the keep rule (>=10 words,
+    link density <= 1/3) from the generation formula in SQL."""
+    from .extract.content import extract_main_content_df
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title></head><body>"),
+        F.lit('<div class="nav"><a href="/">home</a> '
+              '<a href="/a">about us</a> '
+              '<a href="/c">contact page now</a></div>'),
+        F.lit("<h1>Doc "), did, F.lit("</h1>"),
+        F.lit("<p>"), F.substring("text", 1, 150), F.lit("</p>"),
+        F.lit("<p>"), F.substring("text", 151, 150), F.lit("</p>"),
+        F.lit('<div class="side"><a href="/x">ad one</a> '
+              '<a href="/y">ad two</a></div>'),
+        F.lit("<p>copyright 2024 example</p></body></html>"))
+    pages = docs.select("doc_id", html.alias("html"))
+    return extract_main_content_df(pages)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1283,5 +1308,6 @@ QUERIES = {
     "q53_host_budgets": q53_host_budgets,
     "q54_capture_drift": q54_capture_drift,
     "q55_anchor_topk": q55_anchor_topk,
+    "q56_main_content": q56_main_content,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
