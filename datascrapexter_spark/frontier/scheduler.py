@@ -185,6 +185,15 @@ class CrawlConfig:
     rotate_user_agents: bool = False
     ua_rotation_seed: int = 0
     user_agent_pool: tuple[str, ...] | None = None
+    # spider-trap gate (traps.py): drop discovered candidates whose trap
+    # score reaches trap_threshold BEFORE dedup, so calendar/session-id
+    # URL mints never enter url_seen. Off by default — the reference
+    # relies on max-depth/max-pages caps only (engine.go crawl limits);
+    # at a 10^10-URL frontier the gate is the scale-safety upgrade.
+    trap_filter: bool = False
+    trap_threshold: int = 40
+    trap_max_depth: int = 12
+    trap_max_params: int = 8
 
 
 class CrawlEngine:
@@ -613,6 +622,15 @@ class CrawlEngine:
             hosts_df = self.spark.createDataFrame(
                 [(h,) for h in sorted(self.allowed_hosts)], "host string")
             candidates = candidates.join(F.broadcast(hosts_df), "host", "semi")
+        if cfg.trap_filter:
+            # one codegen Filter over the canonical URL — traps die before
+            # hashing/dedup, so they never cost a url_seen probe or row
+            from .traps import trap_cols
+
+            score = trap_cols(F.col("url_canon"),
+                              max_depth=cfg.trap_max_depth,
+                              max_params=cfg.trap_max_params)["trap_score"]
+            candidates = candidates.filter(score < cfg.trap_threshold)
         candidates = candidates.withColumn("url_hash", F.xxhash64("url_canon"))
 
         # --- dedup: bloom/cuckoo prefilter, then exact anti-join for

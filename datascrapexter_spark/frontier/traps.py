@@ -90,3 +90,48 @@ def filter_traps(df, url_col: str = "url", threshold: int = 40):
     """Drop trap URLs in place — one codegen Filter, zero extra scans."""
     score = trap_cols(F.col(url_col))["trap_score"]
     return df.filter(score < threshold)
+
+
+# ---------------------------------------------------------------------------
+# Driver-side twin (the security.py pattern): the oracle crawl simulator
+# needs the exact same verdicts without a Spark session. Same pattern
+# tables, same weights — tests assert Python/codegen parity on fixtures.
+# ---------------------------------------------------------------------------
+import re as _re
+
+_PATH_RE_PY = _re.compile("^[a-z][a-z0-9+.\\-]*://[^/?#]+(/[^?#]*)?")
+_CALENDAR_RE_PY = _re.compile(CALENDAR_RE)
+_HEX32_RE_PY = _re.compile(HEX32_RE)
+_UUID_RE_PY = _re.compile(UUID_RE)
+
+
+def trap_score_py(url: str, max_depth: int = 12,
+                  max_params: int = 8) -> int:
+    """Integer trap score, bit-identical to ``trap_cols``'s trap_score."""
+    m = _PATH_RE_PY.match(url)
+    path = (m.group(1) or "") if m else ""
+    qm = _re.search("\\?([^#]*)", url)
+    query = qm.group(1) if qm else ""
+    segs = [s for s in path.split("/") if s]
+    params = query.split("&") if query else []
+    depth = len(segs)
+    surplus = depth - len(set(segs))
+
+    def is_session(p: str) -> bool:
+        key, _, val = p.partition("=")
+        return (key.lower() in SESSION_KEYS
+                or bool(_HEX32_RE_PY.match(val.lower()))
+                or bool(_UUID_RE_PY.match(val.lower())))
+
+    score = 0
+    if surplus >= 2:
+        score += 40
+    if _CALENDAR_RE_PY.search(path) and depth > 6:
+        score += 30
+    if any(is_session(p) for p in params):
+        score += 20
+    if depth > max_depth:
+        score += 20
+    if len(params) > max_params:
+        score += 10
+    return score

@@ -212,6 +212,12 @@ class CrawlSimulator:
             host = extract_domain(canon)
             if self.allowed_hosts is not None and host not in self.allowed_hosts:
                 continue
+            if cfg.trap_filter:
+                from datascrapexter_spark.frontier.traps import trap_score_py
+
+                if trap_score_py(canon, cfg.trap_max_depth,
+                                 cfg.trap_max_params) >= cfg.trap_threshold:
+                    continue
             h = spark_xxhash64_str(canon)
             if h in self.seen:
                 continue

@@ -66,3 +66,64 @@ def test_filter_traps_is_codegen_filter(spark):
     plan = filter_traps(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_py_twin_parity(spark):
+    """trap_score_py must agree with the codegen trap_score bit-for-bit
+    on every fixture URL (the security.py twin-parity pattern)."""
+    from pyspark.sql import Row
+
+    from datascrapexter_spark.frontier.traps import trap_score_py
+
+    urls = [c[0] for c in CASES] + [
+        "https://a.com", "https://a.com/", "notaurl",
+        "https://a.com/p?x", "https://a.com/p?x=&sid=",
+        "https://a.com/2024/12/31/a/2024/12/31",
+    ]
+    df = spark.createDataFrame([Row(url=u) for u in urls], "url string")
+    got = {r["url"]: r["trap_score"] for r in df.select(
+        "url", trap_cols(F.col("url"))["trap_score"].alias("trap_score")
+    ).collect()}
+    for u in urls:
+        assert got[u] == trap_score_py(u), u
+
+
+def test_crawl_trap_gate_sim_parity(spark, tmp_path):
+    """trap_filter=True: trap out-links never enter the frontier or the
+    seen set; crawl order bit-exact vs the oracle simulator."""
+    from tests.crawl_oracle import CrawlSimulator
+    from tests.test_crawl_engine import make_cfg, run_spark_crawl, spark_log
+
+    host = "trapped.ex.com"
+    home = (f'<html><body><a href="https://{host}/ok">ok</a>'
+            f'<a href="https://{host}/p?jsessionid='
+            f'{"ab" * 16}&x=1&sid=1">sess</a>'
+            f'<a href="https://{host}/a/b/a/b/a/b">loop</a>'
+            "</body></html>")
+    rows = [
+        (f"https://{host}/", None, home.encode(), "", "en"),
+        (f"https://{host}/ok", None, b"<html><h1>ok</h1></html>", "", "en"),
+        (f"https://{host}/a/b/a/b/a/b", None,
+         b"<html><h1>trap</h1></html>", "", "en"),
+    ]
+    seeds = [(f"https://{host}/", 5)]
+    web = (rows, seeds, {})
+    cfg = make_cfg(trap_filter=True, trap_threshold=20, max_rounds=4)
+    engine, _ = run_spark_crawl(spark, tmp_path, web, cfg)
+
+    sim = CrawlSimulator.from_raw(web[0], web[2], cfg)
+    sim.run(web[1])
+    assert spark_log(engine) == sim.sorted_log()
+    scheduled = {row[3] for row in spark_log(engine)}
+    assert f"https://{host}/ok" in scheduled
+    assert not any("/a/b/a/b" in u or "jsessionid" in u for u in scheduled)
+
+    # gate off: the repeat-trap link IS scheduled (and fetched)
+    cfg_off = make_cfg(trap_filter=False, max_rounds=4)
+    engine2, _ = run_spark_crawl(
+        spark, tmp_path / "off", web, cfg_off)
+    sim2 = CrawlSimulator.from_raw(web[0], web[2], cfg_off)
+    sim2.run(web[1])
+    assert spark_log(engine2) == sim2.sorted_log()
+    scheduled2 = {row[3] for row in spark_log(engine2)}
+    assert f"https://{host}/a/b/a/b/a/b" in scheduled2
