@@ -16,7 +16,8 @@ from ..functions.transforms import VALID_TRANSFORM_TYPES
 VALID_FIELD_TYPES = frozenset(
     {"text", "html", "attr", "list", "number", "float", "integer", "boolean",
      "date", "datetime", "time", "url", "email", "phone", "json", "csv",
-     "table", "count", "exists", "jsonld", "microdata", "rdfa", "media"}
+     "table", "count", "exists", "jsonld", "microdata", "rdfa", "media",
+     "main_content"}
 )
 
 # the one field type with an implicit selector: structured-data blocks are
@@ -40,7 +41,8 @@ class FieldConfig:
         if not self.name:
             raise ValueError("field name is required")
         if not self.selector and self.type not in ("jsonld", "microdata",
-                                                   "rdfa", "media"):
+                                                   "rdfa", "media",
+                                                   "main_content"):
             raise ValueError("field selector is required")
         if not self.type:
             raise ValueError("field type is required")

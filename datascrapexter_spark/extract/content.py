@@ -61,15 +61,15 @@ def _leaf_blocks(root: Node) -> list[Node]:
     return out
 
 
-def extract_main_content_py(html, min_words: int = 10,
-                            link_num: int = 1, link_den: int = 3) -> dict:
-    """Single-page classifier; returns the q56 output columns.
+def classify_blocks(root: Node, min_words: int = 10,
+                    link_num: int = 1, link_den: int = 3) -> dict:
+    """Block classification over an already-parsed (sub)tree — the core
+    shared by the DataFrame op and the `main_content` field type.
 
     A block is content iff n_words >= min_words and
     link_den * link_words <= link_num * n_words (integer, exact).
     Zero-word blocks are ignored entirely.
     """
-    root = parse_html(html)
     kept: list[str] = []
     n_blocks = n_content = total_words = content_words = 0
     for block in _leaf_blocks(root):
@@ -96,6 +96,12 @@ def extract_main_content_py(html, min_words: int = 10,
         "content_words": content_words,
         "boiler_ppm": boiler_ppm,
     }
+
+
+def extract_main_content_py(html, min_words: int = 10,
+                            link_num: int = 1, link_den: int = 3) -> dict:
+    """Single-page classifier; returns the q56 output columns."""
+    return classify_blocks(parse_html(html), min_words, link_num, link_den)
 
 
 _OUT_FIELDS = [

@@ -32,6 +32,7 @@ from .fields import extract_all, get_default_value
 _SPARK_TYPE_BY_FIELD_TYPE: dict[str, T.DataType] = {
     "text": T.StringType(),
     "html": T.StringType(),
+    "main_content": T.StringType(),
     "attr": T.StringType(),
     "url": T.StringType(),
     "email": T.StringType(),

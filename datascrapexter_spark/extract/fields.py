@@ -475,7 +475,7 @@ def get_default_value(cfg: FieldConfig) -> Any:
         return cfg.default
     t = cfg.type
     if t in ("text", "html", "attr", "url", "email", "phone", "date",
-             "datetime", "time"):
+             "datetime", "time", "main_content"):
         return ""
     if t in ("list", "csv"):
         return []
@@ -510,6 +510,10 @@ def extract_raw_value(doc: Node, cfg: FieldConfig) -> Any:
                      if not n.attr("property")]
     elif cfg.type == "media" and not selector:
         selection = select(doc, _MEDIA_DEFAULT_SELECTOR)
+    elif cfg.type == "main_content" and not selector:
+        # whole-document boilerplate removal by default; a selector
+        # scopes classification to that subtree
+        selection = [doc]
     else:
         selection = select(doc, selector)
     if not selection:
@@ -518,6 +522,10 @@ def extract_raw_value(doc: Node, cfg: FieldConfig) -> Any:
     t = cfg.type
     if t == "text":
         return go_trim_space(first.text())
+    if t == "main_content":
+        from .content import classify_blocks
+
+        return classify_blocks(first)["main_text"]
     if t == "html":
         return first.inner_html()
     if t == "attr":

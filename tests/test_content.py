@@ -65,3 +65,30 @@ def test_df_passthrough_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
+
+
+def test_main_content_field_type(spark):
+    """main_content as a config-driven field: whole-doc by default,
+    subtree-scoped with a selector, DataFrame path included."""
+    from pyspark.sql import Row
+
+    from datascrapexter_spark.extract import FieldConfig, extract_fields_df
+    from datascrapexter_spark.extract.fields import extract_field
+    from datascrapexter_spark.html.dom import parse_html
+
+    page = (f"<html><body><div class='nav'><a href='/'>home link</a></div>"
+            f"<div id='art'><p>{LONG}</p></div>"
+            f"<p>{LONG} tail words here</p></body></html>")
+    doc = parse_html(page)
+    whole = extract_field(doc, FieldConfig(
+        name="content", selector="", type="main_content"))
+    assert whole == f"{LONG}\n{LONG} tail words here"
+    scoped = extract_field(doc, FieldConfig(
+        name="content", selector="#art", type="main_content"))
+    assert scoped == LONG
+
+    pages = spark.createDataFrame([Row(doc_id=1, html=page)],
+                                  "doc_id long, html string")
+    out = extract_fields_df(pages, [FieldConfig(
+        name="content", selector="", type="main_content")])
+    assert out.collect()[0]["content"] == whole
