@@ -1276,6 +1276,34 @@ SELECT doc_id,
    // (15 + n1 + n2))::BIGINT AS boiler_ppm
 FROM c
 """,
+    "q57_sitemap_parse": """
+WITH u AS (
+  SELECT 'https://s' || (o_custkey % 20) || '.ex.com/sitemap.xml'
+           AS sitemap_url,
+         'https://s' || (o_custkey % 20) || '.ex.com/o/' || o_orderkey
+           AS loc,
+         strftime(o_orderdate, '%Y-%m-%d') AS lastmod,
+         CASE o_orderkey % 4 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+              WHEN 2 THEN 'monthly' ELSE 'yearly' END AS changefreq,
+         CASE o_orderkey % 3 WHEN 0 THEN '0.5' WHEN 1 THEN '0.8'
+              ELSE '1.0' END AS priority,
+         FALSE AS is_index
+  FROM orders
+), i AS (
+  SELECT DISTINCT
+         'https://index.ex.com/sitemap-index.xml' AS sitemap_url,
+         'https://s' || (o_custkey % 20) || '.ex.com/sitemap.xml' AS loc,
+         NULL::VARCHAR AS lastmod, NULL::VARCHAR AS changefreq,
+         NULL::VARCHAR AS priority, TRUE AS is_index
+  FROM orders
+), allrows AS (SELECT * FROM u UNION ALL SELECT * FROM i)
+SELECT *,
+  (CASE changefreq WHEN 'always' THEN 1 WHEN 'hourly' THEN 1
+        WHEN 'daily' THEN 24 WHEN 'weekly' THEN 168
+        WHEN 'monthly' THEN 720 WHEN 'yearly' THEN 8760
+        WHEN 'never' THEN 8760 END)::INT AS freq_hours
+FROM allrows
+""",
     "q48_warc_roundtrip": """
 SELECT doc_id, md5(text) AS payload_md5, strlen(text)::BIGINT AS n_bytes
 FROM documents

@@ -809,6 +809,57 @@ def q56_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_content_df(pages)
 
 
+def q57_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap table parse (sources/sitemap.py): per-host <urlset> docs
+    plus one <sitemapindex> are BUILT from orders, then parsed back by
+    the codegen regex parser; the oracle re-derives the expected rows
+    straight from orders — the whole build+parse chain must invert."""
+    from .sources.sitemap import changefreq_hours_col, parse_sitemaps_df
+
+    orders = load(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    h = (F.col("o_custkey") % 20).cast("string")
+    cf = (F.when(okey % 4 == 0, "daily").when(okey % 4 == 1, "weekly")
+          .when(okey % 4 == 2, "monthly").otherwise("yearly"))
+    pr = (F.when(okey % 3 == 0, "0.5").when(okey % 3 == 1, "0.8")
+          .otherwise("1.0"))
+    entry = F.concat(
+        F.lit("<url><loc>https://s"), h, F.lit(".ex.com/o/"),
+        okey.cast("string"), F.lit("</loc><lastmod>"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.lit("</lastmod><changefreq>"), cf,
+        F.lit("</changefreq><priority>"), pr,
+        F.lit("</priority></url>"))
+    per_host = (
+        orders.select(h.alias("h"), entry.alias("e"))
+        .groupBy("h")
+        .agg(F.array_join(F.array_sort(F.collect_list("e")), "")
+             .alias("body"))
+        .select(
+            F.concat(F.lit("https://s"), F.col("h"),
+                     F.lit(".ex.com/sitemap.xml")).alias("sitemap_url"),
+            F.concat(F.lit('<?xml version="1.0"?><urlset>'), F.col("body"),
+                     F.lit("</urlset>")).alias("xml")))
+    index = (
+        orders.select(h.alias("h")).distinct()
+        .select(F.concat(F.lit("<sitemap><loc>https://s"), F.col("h"),
+                         F.lit(".ex.com/sitemap.xml</loc></sitemap>"))
+                .alias("e"))
+        .agg(F.array_join(F.array_sort(F.collect_list("e")), "")
+             .alias("body"))
+        .select(
+            F.lit("https://index.ex.com/sitemap-index.xml")
+            .alias("sitemap_url"),
+            F.concat(F.lit('<?xml version="1.0"?><sitemapindex>'),
+                     F.col("body"),
+                     F.lit("</sitemapindex>")).alias("xml")))
+    parsed = parse_sitemaps_df(per_host.unionByName(index))
+    return parsed.select(
+        "sitemap_url", "loc", "lastmod", "changefreq", "priority",
+        "is_index",
+        changefreq_hours_col(F.col("changefreq")).alias("freq_hours"))
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1309,5 +1360,6 @@ QUERIES = {
     "q54_capture_drift": q54_capture_drift,
     "q55_anchor_topk": q55_anchor_topk,
     "q56_main_content": q56_main_content,
+    "q57_sitemap_parse": q57_sitemap_parse,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
