@@ -695,3 +695,58 @@ def contamination_flags(docs: DataFrame, benchmark: DataFrame,
                  F.coalesce(F.sum("_hit"), F.lit(0)).cast("long")
                  .alias("n_contaminated"))
             .withColumn("contaminated", F.col("n_contaminated") > 0))
+
+
+def host_mirror_stats(pages: DataFrame, host_col: str = "host",
+                      digest_col: str | None = None,
+                      content_cols: list[str] | None = None) -> DataFrame:
+    """Per-host duplicate/mirror content statistics.
+
+    Mirror hosts (the same content served under many hostnames) are a
+    crawl-scale pathology: they burn fetch budget and poison dedup
+    ratios. This rolls content identity up to the host level:
+
+    - ``intra_dup_ppm``  — share of a host's pages whose content repeats
+      WITHIN the host (template farms, soft-404s)
+    - ``mirror_ppm``     — share of a host's pages whose content also
+      appears on ANOTHER host (mirrors, scraped copies)
+
+    The per-host dup signal is exactly what ``frontier/reputation.py``
+    consumes as ``is_dup``; this is its corpus-level producer.
+
+    Identity is the exact_dedup digest contract (md5, \\x1f separator,
+    NULL sentinels) when ``content_cols`` is given, or a caller-supplied
+    ``digest_col``. Scale shape: every exchange is keyed on the 32-char
+    digest or the host — (digest,host) partial-agg first, so page
+    payloads never shuffle and hot digests collapse map-side.
+    """
+    if digest_col is None:
+        if not content_cols:
+            raise ValueError("need digest_col or content_cols")
+        parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+                 for c in content_cols]
+        digest = F.md5(F.concat_ws("\x1f", *parts))
+    else:
+        digest = F.col(digest_col)
+    per_pair = (pages
+                .select(F.col(host_col).alias("host"),
+                        digest.alias("_digest"))
+                .groupBy("_digest", "host")
+                .agg(F.count(F.lit(1)).alias("_n")))
+    per_digest = (per_pair.groupBy("_digest")
+                  .agg(F.count(F.lit(1)).alias("_n_hosts")))
+    joined = per_pair.join(per_digest, "_digest")
+    stats = joined.groupBy("host").agg(
+        F.sum("_n").alias("n_pages"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("_n_hosts") > 1, F.col("_n")).otherwise(0))
+        .alias("n_mirrored"))
+    dup = F.col("n_pages") - F.col("n_distinct")
+    return stats.select(
+        "host", "n_pages", "n_distinct",
+        ((F.lit(1_000_000) * dup - (F.lit(1_000_000) * dup)
+          % F.col("n_pages")) / F.col("n_pages")).cast("long")
+        .alias("intra_dup_ppm"),
+        ((F.lit(1_000_000) * F.col("n_mirrored")
+          - (F.lit(1_000_000) * F.col("n_mirrored")) % F.col("n_pages"))
+         / F.col("n_pages")).cast("long").alias("mirror_ppm"))

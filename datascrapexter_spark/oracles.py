@@ -1304,6 +1304,25 @@ SELECT *,
         WHEN 'never' THEN 8760 END)::INT AS freq_hours
 FROM allrows
 """,
+    "q58_host_mirrors": """
+WITH p AS (
+  SELECT 'm' || (doc_id % 8) || '.ex.com' AS host,
+         md5((doc_id % 60)::VARCHAR) AS d
+  FROM documents
+), pp AS (SELECT d, host, count(*) AS n FROM p GROUP BY 1, 2),
+pd AS (SELECT d, count(*) AS n_hosts FROM pp GROUP BY 1),
+j AS (SELECT pp.host, pp.n, pd.n_hosts FROM pp JOIN pd USING (d)),
+s AS (SELECT host, sum(n)::BIGINT AS n_pages,
+             count(*) AS n_distinct,
+             sum(CASE WHEN n_hosts > 1 THEN n ELSE 0 END)::BIGINT
+               AS n_mirrored
+      FROM j GROUP BY host)
+SELECT host, n_pages, n_distinct,
+       ((1000000 * (n_pages - n_distinct)) // n_pages)::BIGINT
+         AS intra_dup_ppm,
+       ((1000000 * n_mirrored) // n_pages)::BIGINT AS mirror_ppm
+FROM s
+""",
     "q48_warc_roundtrip": """
 SELECT doc_id, md5(text) AS payload_md5, strlen(text)::BIGINT AS n_bytes
 FROM documents

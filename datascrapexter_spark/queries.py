@@ -860,6 +860,21 @@ def q57_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         changefreq_hours_col(F.col("changefreq")).alias("freq_hours"))
 
 
+def q58_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host duplicate/mirror content stats (dedup.host_mirror_stats)
+    over a page table whose content digests repeat both within hosts
+    (doc_id ±120 shares host AND content) and across hosts (±60 shares
+    content only) — both ppm columns land strictly inside (0, 10^6)."""
+    docs = load(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(F.lit("m"), (F.col("doc_id") % 8).cast("string"),
+                 F.lit(".ex.com")).alias("host"),
+        F.md5(F.encode((F.col("doc_id") % 60).cast("string"), "UTF-8"))
+        .alias("digest"))
+    return dedup.host_mirror_stats(pages, host_col="host",
+                                   digest_col="digest")
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1361,5 +1376,6 @@ QUERIES = {
     "q55_anchor_topk": q55_anchor_topk,
     "q56_main_content": q56_main_content,
     "q57_sitemap_parse": q57_sitemap_parse,
+    "q58_host_mirrors": q58_host_mirrors,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

@@ -706,3 +706,56 @@ def test_gopher_filter_rules(spark):
     for r in out.values():
         idx = [order.index(x) for x in r["reasons"]]
         assert idx == sorted(idx)
+
+
+def test_host_mirror_stats_values(spark):
+    from pyspark.sql import Row
+
+    from datascrapexter_spark.ops.dedup import host_mirror_stats
+
+    rows = [
+        # a.com: 4 pages, one intra-dup pair (c1 twice), c2 also on b.com
+        Row(host="a.com", text="c1"), Row(host="a.com", text="c1"),
+        Row(host="a.com", text="c2"), Row(host="a.com", text="c3"),
+        # b.com: 2 pages, no intra dup, c2 mirrored from a.com
+        Row(host="b.com", text="c2"), Row(host="b.com", text="c4"),
+    ]
+    df = spark.createDataFrame(rows, "host string, text string")
+    out = {r["host"]: r for r in host_mirror_stats(
+        df, content_cols=["text"]).collect()}
+    a, b = out["a.com"], out["b.com"]
+    assert a["n_pages"] == 4 and a["n_distinct"] == 3
+    assert a["intra_dup_ppm"] == 250_000        # 1 of 4 pages is a repeat
+    assert a["mirror_ppm"] == 250_000           # c2 appears on b.com too
+    assert b["n_pages"] == 2 and b["n_distinct"] == 2
+    assert b["intra_dup_ppm"] == 0 and b["mirror_ppm"] == 500_000
+
+
+def test_host_mirror_stats_digest_col_and_errors(spark):
+    from pyspark.sql import Row
+
+    import pytest as _pytest
+
+    from datascrapexter_spark.ops.dedup import host_mirror_stats
+
+    df = spark.createDataFrame([Row(host="h", digest="d")],
+                               "host string, digest string")
+    out = host_mirror_stats(df, digest_col="digest").collect()
+    assert out[0]["n_pages"] == 1 and out[0]["mirror_ppm"] == 0
+    with _pytest.raises(ValueError):
+        host_mirror_stats(df)
+
+
+def test_host_mirror_stats_payload_never_shuffles(spark):
+    from pyspark.sql import Row
+
+    from datascrapexter_spark.ops.dedup import host_mirror_stats
+
+    df = spark.createDataFrame([Row(host="h", text="x" * 10)],
+                               "host string, text string")
+    plan = host_mirror_stats(df, content_cols=["text"])._jdf \
+        .queryExecution().executedPlan().toString()
+    # digests enter the first exchange; the text column must not
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
