@@ -867,7 +867,57 @@ def _pagerank_sql(iters: int = 5, out_deg: int = 4) -> str:
 # the catalog
 # ---------------------------------------------------------------------------
 
+def _url_templates_sql() -> str:
+    """q59 oracle — replays functions.urltemplates over the same
+    deterministic URL corpus; the segment CASE is generated from
+    urltemplates.SEGMENT_CLASSES so the regex table provably matches."""
+    from .functions.urltemplates import (_DIGIT_REQUIRED, _HAS_DIGIT,
+                                         SEGMENT_CLASSES)
+    whens = []
+    for pat, cls in SEGMENT_CLASSES:
+        cond = f"regexp_matches(lower(s), '{pat}')"
+        if cls in _DIGIT_REQUIRED:
+            cond += f" AND regexp_matches(lower(s), '{_HAS_DIGIT}')"
+        whens.append(f"WHEN {cond} THEN '{cls}'")
+    case = "CASE " + " ".join(whens) + " ELSE s END"
+    md = "md5(doc_id::VARCHAR)"
+    return """
+WITH urls AS (
+  SELECT 'https://shop' || (doc_id % 3) || '.example.com' ||
+     CASE doc_id % 5
+       WHEN 0 THEN '/product/' || (doc_id * 7919 % 100000)
+       WHEN 1 THEN '/product/' || (doc_id * 7919 % 100000)
+                   || '/review-' || (doc_id % 7)
+       WHEN 2 THEN '/item/' || substr(MD, 1, 12)
+       WHEN 3 THEN '/u/' || substr(MD, 1, 8) || '-' || substr(MD, 9, 4)
+                   || '-' || substr(MD, 13, 4) || '-' || substr(MD, 17, 4)
+                   || '-' || substr(MD, 21, 12)
+       ELSE '/static/css/main.css?v=' || (doc_id % 10)
+     END AS url
+  FROM documents
+), parsed AS (
+  SELECT url,
+     lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+     regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path
+  FROM urls
+), t AS (
+  SELECT url, host,
+     host || '/' || array_to_string(
+       list_transform(list_filter(str_split(path, '/'), s -> s != ''),
+                      s -> CASE_EXPR), '/') AS template,
+     regexp_matches(url, '^[a-z][a-z0-9+.-]*://[^?#]*\\?')::INT AS has_q
+  FROM parsed
+)
+SELECT host, template, count(*)::BIGINT AS n_urls,
+       count(DISTINCT url)::BIGINT AS n_distinct,
+       sum(has_q)::BIGINT AS n_with_query,
+       min(url) AS example_url
+FROM t GROUP BY host, template
+""".replace("MD", md).replace("CASE_EXPR", case)
+
+
 ORACLES: dict[str, str] = {
+    "q59_url_templates": _url_templates_sql(),
     "q01_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)::DOUBLE AS sum_qty,

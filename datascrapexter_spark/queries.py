@@ -875,6 +875,35 @@ def q58_host_mirrors(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    digest_col="digest")
 
 
+def q59_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining: a synthetic corpus whose paths exercise all
+    five segment classes ({n}, {uuid}, {hex}, {id}, literal) collapses
+    to per-(host, template) shape stats, all classification in
+    codegen."""
+    from .functions import urltemplates
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    md = F.md5(F.encode(i.cast("string"), "UTF-8"))
+    num = (i * 7919 % 100000).cast("string")
+    path = (F.when(i % 5 == 0, F.concat(F.lit("/product/"), num))
+            .when(i % 5 == 1, F.concat(F.lit("/product/"), num,
+                                       F.lit("/review-"),
+                                       (i % 7).cast("string")))
+            .when(i % 5 == 2, F.concat(F.lit("/item/"),
+                                       F.substring(md, 1, 12)))
+            .when(i % 5 == 3, F.concat(
+                F.lit("/u/"), F.substring(md, 1, 8), F.lit("-"),
+                F.substring(md, 9, 4), F.lit("-"), F.substring(md, 13, 4),
+                F.lit("-"), F.substring(md, 17, 4), F.lit("-"),
+                F.substring(md, 21, 12)))
+            .otherwise(F.concat(F.lit("/static/css/main.css?v="),
+                                (i % 10).cast("string"))))
+    urls = docs.select(F.concat(
+        F.lit("https://shop"), (i % 3).cast("string"),
+        F.lit(".example.com"), path).alias("url"))
+    return urltemplates.mine_url_templates(urls, url_col="url")
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1377,5 +1406,6 @@ QUERIES = {
     "q56_main_content": q56_main_content,
     "q57_sitemap_parse": q57_sitemap_parse,
     "q58_host_mirrors": q58_host_mirrors,
+    "q59_url_templates": q59_url_templates,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
