@@ -160,3 +160,45 @@ def anchor_text_topk(edges: DataFrame, dst_col: str = "dst",
         F.col("n_links").desc(), F.col("anchor").asc())
     return (agg.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def host_graph_rollup(edges: DataFrame, src_col: str = "src_url",
+                      dst_col: str = "dst_url") -> DataFrame:
+    """Roll a page-level link graph up to the host level.
+
+    One row per (src_host, dst_host) with ``n_links`` (page-level edge
+    count), ``n_src_pages`` (distinct linking pages), ``internal``
+    (same-host), and ``reciprocal`` (the reverse host pair also links —
+    the classic mirror / link-exchange signal feeding
+    frontier/reputation.py alongside dedup.host_mirror_stats).
+
+    The reference has no cross-page signals (per-page extraction only,
+    internal/scraper/engine.go); this is the host-granular web-graph
+    companion to ``pagerank_micro``.
+
+    Scale shape: host parsing is map-side codegen; the corpus-sized
+    exchange is the (src_host, dst_host) partial-agg groupBy (URL
+    payloads collapse map-side). Reciprocity is a self-equi-join of the
+    ALREADY-AGGREGATED host-pair table on the reversed key — host-pair
+    cardinality is ~|hosts| * avg-host-out-degree, millions of rows at
+    10^10-URL scale, so the join is a small keyed shuffle (or broadcast)
+    regardless of corpus size.
+    """
+    from ..functions.urltemplates import url_host_col
+
+    pairs = edges.select(
+        url_host_col(src_col).alias("src_host"),
+        url_host_col(dst_col).alias("dst_host"),
+        F.col(src_col).alias("_src"))
+    agg = (pairs.groupBy("src_host", "dst_host")
+           .agg(F.count(F.lit(1)).alias("n_links"),
+                F.countDistinct("_src").alias("n_src_pages")))
+    rev = agg.select(F.col("dst_host").alias("src_host"),
+                     F.col("src_host").alias("dst_host"),
+                     F.lit(True).alias("_rev"))
+    return (agg.join(rev, ["src_host", "dst_host"], "left")
+            .select("src_host", "dst_host", "n_links", "n_src_pages",
+                    (F.col("src_host") == F.col("dst_host"))
+                    .alias("internal"),
+                    F.coalesce(F.col("_rev"), F.lit(False))
+                    .alias("reciprocal")))

@@ -918,6 +918,23 @@ FROM t GROUP BY host, template
 
 ORACLES: dict[str, str] = {
     "q59_url_templates": _url_templates_sql(),
+    "q60_host_graph": """
+WITH e AS (
+  SELECT 'https://h' || (doc_id % 7) || '.ex.com/p/' || doc_id AS src_url,
+         'h' || (doc_id % 7) || '.ex.com' AS src_host,
+         'h' || ((doc_id % 7 + off) % 7) || '.ex.com' AS dst_host
+  FROM documents, (VALUES (0), (1), (2), (6)) AS o(off)
+), agg AS (
+  SELECT src_host, dst_host, count(*)::BIGINT AS n_links,
+         count(DISTINCT src_url)::BIGINT AS n_src_pages
+  FROM e GROUP BY src_host, dst_host
+)
+SELECT a.src_host, a.dst_host, a.n_links, a.n_src_pages,
+       a.src_host = a.dst_host AS internal,
+       (r.src_host IS NOT NULL) AS reciprocal
+FROM agg a
+LEFT JOIN agg r ON a.src_host = r.dst_host AND a.dst_host = r.src_host
+""",
     "q01_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)::DOUBLE AS sum_qty,

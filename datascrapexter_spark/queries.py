@@ -904,6 +904,27 @@ def q59_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urltemplates.mine_url_templates(urls, url_col="url")
 
 
+def q60_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link-graph rollup (graphrank.host_graph_rollup) over a
+    deterministic page graph: host a links to hosts a, a+1, a+2, a+6
+    (mod 7) — exercising internal, reciprocal (offsets 1/6) and
+    one-way (offset 2) pairs."""
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    e = docs.select(i, F.explode(F.sequence(F.lit(0), F.lit(3)))
+                    .alias("j"))
+    off = F.element_at(F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(6)),
+                       (F.col("j") + 1).cast("int"))
+    a, b = i % 7, (i % 7 + off) % 7
+    edges = e.select(
+        F.concat(F.lit("https://h"), a.cast("string"),
+                 F.lit(".ex.com/p/"), i.cast("string")).alias("src_url"),
+        F.concat(F.lit("https://h"), b.cast("string"), F.lit(".ex.com/p/"),
+                 ((i * 7 + F.col("j")) % 123).cast("string"))
+        .alias("dst_url"))
+    return graphrank.host_graph_rollup(edges)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1407,5 +1428,6 @@ QUERIES = {
     "q57_sitemap_parse": q57_sitemap_parse,
     "q58_host_mirrors": q58_host_mirrors,
     "q59_url_templates": q59_url_templates,
+    "q60_host_graph": q60_host_graph,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

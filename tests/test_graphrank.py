@@ -117,3 +117,29 @@ def test_anchor_topk_uses_window_group_limit(spark):
     # per-task top-k retention before the dst exchange (q43 pattern)
     assert "WindowGroupLimit" in plan
     assert "Python" not in plan
+
+
+def test_host_graph_rollup(spark):
+    from pyspark.sql import Row
+    edges = [
+        # a -> b twice from two pages; b -> a once (reciprocal pair)
+        Row(src_url="https://a.com/p/1", dst_url="https://b.com/x"),
+        Row(src_url="https://a.com/p/1", dst_url="https://b.com/y"),
+        Row(src_url="https://a.com/p/2", dst_url="https://b.com/x"),
+        Row(src_url="https://b.com/q", dst_url="https://a.com/p/1"),
+        # a -> c one-way; a -> a internal
+        Row(src_url="https://a.com/p/1", dst_url="https://c.com/"),
+        Row(src_url="https://a.com/p/3", dst_url="https://a.com/p/4"),
+    ]
+    df = spark.createDataFrame(edges,
+                               "src_url string, dst_url string")
+    out = {(r["src_host"], r["dst_host"]): r.asDict()
+           for r in graphrank.host_graph_rollup(df).collect()}
+    ab = out[("a.com", "b.com")]
+    assert ab["n_links"] == 3 and ab["n_src_pages"] == 2
+    assert ab["reciprocal"] is True and ab["internal"] is False
+    assert out[("b.com", "a.com")]["reciprocal"] is True
+    ac = out[("a.com", "c.com")]
+    assert ac["reciprocal"] is False and ac["internal"] is False
+    aa = out[("a.com", "a.com")]
+    assert aa["internal"] is True and aa["reciprocal"] is True
