@@ -918,6 +918,35 @@ FROM t GROUP BY host, template
 
 ORACLES: dict[str, str] = {
     "q59_url_templates": _url_templates_sql(),
+    "q61_redirect_chains": """
+WITH RECURSIVE r AS (
+  SELECT 'https://r.ex.com/u/' || doc_id AS src,
+         'https://r.ex.com/u/' || (doc_id - 1) AS dst
+  FROM documents WHERE doc_id % 8 != 0
+  UNION ALL
+  SELECT DISTINCT 'https://r.ex.com/c/' || (doc_id % 10),
+         'https://r.ex.com/c/' || ((doc_id % 10 + 1) % 10)
+  FROM documents
+), urls AS (
+  SELECT 'https://r.ex.com/u/' || doc_id AS url FROM documents
+  UNION ALL
+  SELECT DISTINCT 'https://r.ex.com/c/' || (doc_id % 10) FROM documents
+), walk AS (
+  SELECT u.url, coalesce(r.dst, u.url) AS cur,
+         (r.dst IS NOT NULL)::BIGINT AS hops, r.dst IS NULL AS done
+  FROM urls u LEFT JOIN r ON u.url = r.src
+  UNION ALL
+  SELECT w.url, coalesce(r.dst, w.cur),
+         w.hops + (r.dst IS NOT NULL)::BIGINT, r.dst IS NULL
+  FROM walk w LEFT JOIN r ON w.cur = r.src
+  WHERE NOT w.done AND w.hops < 8
+)
+SELECT url, cur AS final_url, hops AS n_hops,
+       CASE WHEN done THEN 'ok' ELSE 'unresolved' END AS status
+FROM walk
+QUALIFY row_number() OVER (PARTITION BY url
+                           ORDER BY done DESC, hops DESC) = 1
+""",
     "q60_host_graph": """
 WITH e AS (
   SELECT 'https://h' || (doc_id % 7) || '.ex.com/p/' || doc_id AS src_url,

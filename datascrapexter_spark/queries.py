@@ -925,6 +925,31 @@ def q60_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graphrank.host_graph_rollup(edges)
 
 
+def q61_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution: chains u_i -> u_{i-1} of length
+    doc_id % 8 (all confirmed terminal within the 8-hop cap) plus a
+    10-URL cycle that exhausts the cap and reports unresolved."""
+    from .frontier.redirects import resolve_redirects
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+
+    def u(n):
+        return F.concat(F.lit("https://r.ex.com/u/"), n.cast("string"))
+
+    def c(n):
+        return F.concat(F.lit("https://r.ex.com/c/"), n.cast("string"))
+
+    chain = docs.filter(i % 8 != 0).select(u(i).alias("src"),
+                                           u(i - 1).alias("dst"))
+    cyc = (docs.select((i % 10).alias("j")).distinct()
+           .select(c(F.col("j")).alias("src"),
+                   c((F.col("j") + 1) % 10).alias("dst")))
+    redirects = chain.unionByName(cyc)
+    urls = (docs.select(u(i).alias("url"))
+            .unionByName(cyc.select(F.col("src").alias("url"))))
+    return resolve_redirects(urls, redirects, max_hops=8)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1429,5 +1454,6 @@ QUERIES = {
     "q58_host_mirrors": q58_host_mirrors,
     "q59_url_templates": q59_url_templates,
     "q60_host_graph": q60_host_graph,
+    "q61_redirect_chains": q61_redirect_chains,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
