@@ -192,3 +192,66 @@ def take_token_budget(df: DataFrame, budget: int, key_col: str,
                         .cast("long"))
             .filter(F.col("cum_tokens") <= budget)
             .drop("_u", "_b", "_off"))
+
+
+def pack_sequences(df: DataFrame, capacity: int, key_col: str,
+                   tokens_col: str = "n_tokens", n_shards: int = 64,
+                   seed: int = 0) -> DataFrame:
+    """Next-fit sequence packing into fixed-capacity context windows.
+
+    The last step before LLM training: concatenate documents into
+    training sequences of at most ``capacity`` tokens so padding waste
+    is bounded. Global bin packing is inherently sequential, so the
+    deterministic contract is NEXT-FIT WITHIN A SHARD: rows land in
+    hash-order shards (``floor(u * n_shards)``, the take_token_budget
+    bucket rule), are walked in (u, key) order, and a new bin starts
+    whenever the current document no longer fits. A document longer
+    than ``capacity`` gets flagged ``truncated`` (the trainer decides
+    whether to split or drop it) and occupies its own bin.
+
+    Returns the input columns plus ``shard``, ``bin_idx`` (per-shard
+    bin counter), ``bin_offset`` (token offset of the document inside
+    its bin) and ``truncated`` — enough for a writer to materialize
+    packed sequences with (shard, bin_idx) as the sequence key.
+
+    Scale shape: one hash-keyed exchange into shards, then a
+    per-shard Arrow-batched pandas fold (applyInPandas) — the per-row
+    sequential recurrence is exactly what Catalyst can't express, and
+    shards bound both skew and state. Shard count scales with the
+    cluster (each shard's fold is O(rows/shard), independent).
+    The q62 oracle replays the identical recurrence per shard as a
+    bounded recursive CTE.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    from pyspark.sql.types import (BooleanType, LongType, StructField,
+                                   StructType)
+
+    d = (df.withColumn("_u", hash_unit_col(key_col, seed))
+           .withColumn("_shard",
+                       F.floor(F.col("_u") * n_shards).cast("int")))
+    fields = [f for f in d.schema.fields if f.name != "_u"]
+    schema = StructType(fields + [
+        StructField("bin_idx", LongType()),
+        StructField("bin_offset", LongType()),
+        StructField("truncated", BooleanType()),
+    ])
+    names = [f.name for f in schema.fields]
+
+    def _pack(pdf):
+        pdf = pdf.sort_values(["_u", key_col]).reset_index(drop=True)
+        bins, offs, fill, b = [], [], 0, 0
+        for t in pdf[tokens_col]:
+            t = int(t)
+            if fill > 0 and fill + t > capacity:
+                b, fill = b + 1, 0
+            bins.append(b)
+            offs.append(fill)
+            fill += t
+        pdf["bin_idx"] = bins
+        pdf["bin_offset"] = offs
+        pdf["truncated"] = pdf[tokens_col].astype("int64") > capacity
+        return pdf[names]
+
+    return (d.groupBy("_shard").applyInPandas(_pack, schema)
+            .withColumnRenamed("_shard", "shard"))

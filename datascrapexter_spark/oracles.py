@@ -918,6 +918,38 @@ FROM t GROUP BY host, template
 
 ORACLES: dict[str, str] = {
     "q59_url_templates": _url_templates_sql(),
+    "q62_sequence_packing": """
+WITH RECURSIVE d AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(text), '[ \t\n\r]+'))::BIGINT
+           AS n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#0'), 1, 8))::BIGINT
+           / 4294967296.0 AS u
+  FROM documents
+), o AS (
+  SELECT doc_id, n_tokens, u, floor(u * 8)::INT AS shard,
+         row_number() OVER (PARTITION BY floor(u * 8)::INT
+                            ORDER BY u, doc_id) AS rn
+  FROM d
+), pack AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         0::BIGINT AS bin_idx, 0::BIGINT AS bin_offset,
+         n_tokens AS fill
+  FROM o WHERE rn = 1
+  UNION ALL
+  SELECT nx.shard, nx.rn, nx.doc_id, nx.n_tokens,
+         CASE WHEN p.fill > 0 AND p.fill + nx.n_tokens > 300
+              THEN p.bin_idx + 1 ELSE p.bin_idx END,
+         CASE WHEN p.fill > 0 AND p.fill + nx.n_tokens > 300
+              THEN 0 ELSE p.fill END,
+         CASE WHEN p.fill > 0 AND p.fill + nx.n_tokens > 300
+              THEN nx.n_tokens ELSE p.fill + nx.n_tokens END
+  FROM pack p JOIN o nx ON nx.shard = p.shard AND nx.rn = p.rn + 1
+)
+SELECT doc_id, n_tokens, shard, bin_idx, bin_offset,
+       n_tokens > 300 AS truncated
+FROM pack
+""",
     "q61_redirect_chains": """
 WITH RECURSIVE r AS (
   SELECT 'https://r.ex.com/u/' || doc_id AS src,

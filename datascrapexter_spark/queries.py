@@ -950,6 +950,21 @@ def q61_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_redirects(urls, redirects, max_hops=8)
 
 
+def q62_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing (ops/sampling.pack_sequences):
+    documents walk 8 hash-order shards in (u, doc_id) order and pack
+    into 300-token context windows; the oracle replays the identical
+    per-shard recurrence as a bounded recursive CTE."""
+    from .ops.sampling import pack_sequences
+    from .ops.textstats import token_count_col
+
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id",
+                    token_count_col("text").cast("long").alias("n_tokens")))
+    return pack_sequences(docs, capacity=300, key_col="doc_id",
+                          n_shards=8, seed=0)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1455,5 +1470,6 @@ QUERIES = {
     "q59_url_templates": q59_url_templates,
     "q60_host_graph": q60_host_graph,
     "q61_redirect_chains": q61_redirect_chains,
+    "q62_sequence_packing": q62_sequence_packing,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

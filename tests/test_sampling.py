@@ -206,3 +206,64 @@ def test_take_token_budget_prefix_semantics(spark):
     # degenerate budgets
     assert take_token_budget(df, 0, "doc_id", seed=5).count() == 0
     assert take_token_budget(df, 10**9, "doc_id", seed=5).count() == 300
+
+
+def test_pack_sequences_next_fit(spark):
+    import pytest as _pytest
+
+    from datascrapexter_spark.ops.sampling import (hash_unit_col,
+                                                   pack_sequences)
+
+    rows = [(i, t) for i, t in enumerate([100, 150, 80, 300, 301, 10, 5])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, capacity=300, key_col="doc_id", n_shards=1)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert len(got) == 7 and all(r["shard"] == 0 for r in got.values())
+
+    # replay next-fit in the same (u, doc_id) order
+    order = [r["doc_id"] for r in
+             df.withColumn("_u", hash_unit_col("doc_id"))
+               .orderBy("_u", "doc_id").collect()]
+    toks = dict(rows)
+    fill, b = 0, 0
+    for i in order:
+        t = toks[i]
+        if fill > 0 and fill + t > 300:
+            b, fill = b + 1, 0
+        assert got[i]["bin_idx"] == b and got[i]["bin_offset"] == fill
+        fill += t
+    # oversize doc flagged, fits-exactly doc not
+    assert got[4]["truncated"] is True and got[3]["truncated"] is False
+
+    # bins never exceed capacity except single-oversize-doc bins
+    per_bin = {}
+    for r in got.values():
+        per_bin.setdefault(r["bin_idx"], []).append(r["doc_id"])
+    for docs in per_bin.values():
+        tot = sum(toks[i] for i in docs)
+        assert tot <= 300 or (len(docs) == 1 and tot > 300)
+
+    with _pytest.raises(ValueError):
+        pack_sequences(df, capacity=0, key_col="doc_id")
+
+
+def test_pack_sequences_shard_independence(spark):
+    from datascrapexter_spark.ops.sampling import pack_sequences
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 1).alias("n_tokens"))
+    out = pack_sequences(df, capacity=64, key_col="doc_id",
+                         n_shards=8).collect()
+    assert len(out) == 200
+    assert {r["shard"] for r in out} <= set(range(8))
+    # every (shard, bin) stays within capacity (no oversize docs here)
+    sums = {}
+    for r in out:
+        k = (r["shard"], r["bin_idx"])
+        sums[k] = sums.get(k, 0) + r["n_tokens"]
+        assert r["truncated"] is False
+    assert all(v <= 64 for v in sums.values())
+    # offsets are consistent: max offset + its doc <= capacity
+    for r in out:
+        assert r["bin_offset"] + r["n_tokens"] <= 64
