@@ -334,3 +334,54 @@ def gopher_filter_cols(text: Column | str, *, min_tokens: int = 50,
         "reasons": reasons,
         "keep": F.size(reasons) == 0,
     }
+
+
+def inverted_index(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", min_df: int = 1,
+                   max_postings: int = 16) -> DataFrame:
+    """Distributed inverted-index build: one row per term with ``df``
+    (document frequency), ``tf_total`` (corpus occurrences), a
+    doc-id-sorted postings array capped at ``max_postings`` entries, and
+    ``truncated`` (df exceeded the cap). The search-side companion to
+    ``tfidf_topk`` — what a crawl feeds an index shard writer.
+
+    Scale shape (Zipf-aware — "the" appears in ~every document):
+
+    1. (term, doc) term frequencies: explode → groupBy with MAP-SIDE
+       partials — the only corpus-sized exchange, persisted because two
+       consumers would otherwise each rescan the corpus (Spark does not
+       reuse unpersisted shared subtrees — the q43 lesson).
+    2. per-term df/tf_total: groupBy(term) over the persisted base —
+       map-side partials collapse hot terms BEFORE the exchange, so no
+       reducer ever materializes a hot term's full posting set. This is
+       deliberately NOT a count-over-Window(term): a window partition
+       for a stopword would hold 10^9 rows on one task.
+    3. capped postings: row_number over (term ORDER BY doc) + filter —
+       plans as WindowGroupLimit, each task keeps <= max_postings rows
+       per term before the exchange — then sort_array(collect_list)
+       groups the surviving <= max_postings rows per term.
+    4. stats ⋈ postings on term: two already-aggregated key-width
+       tables.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens_col(F.lower(
+            F.col(text_col) if isinstance(text_col, str) else text_col)))
+        .alias("term")).filter(F.col("term") != "")
+    base = (toks.groupBy("term", "doc")
+            .agg(F.count(F.lit(1)).alias("tf")).persist())
+    stats = (base.groupBy("term")
+             .agg(F.count(F.lit(1)).alias("df"),
+                  F.sum("tf").alias("tf_total"))
+             .filter(F.col("df") >= min_df))
+    w = Window.partitionBy("term").orderBy("doc")
+    postings = (base
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= max_postings)
+                .groupBy("term")
+                .agg(F.sort_array(F.collect_list("doc")).alias("postings")))
+    return (stats.join(postings, "term")
+            .select("term", "df", "tf_total", "postings",
+                    (F.col("df") > max_postings).alias("truncated")))

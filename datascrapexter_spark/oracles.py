@@ -918,6 +918,44 @@ FROM t GROUP BY host, template
 
 ORACLES: dict[str, str] = {
     "q59_url_templates": _url_templates_sql(),
+    "q64_hll_sketch": """
+WITH u AS (
+  SELECT 'https://s.ex.com/p/' || (o_orderkey % 4096) AS url FROM orders
+), h AS (
+  SELECT ('0x' || substr(md5(url || '#0'), 1, 15))::BIGINT AS h FROM u
+), r AS (
+  SELECT h // 4503599627370496 AS reg,
+         h % 4503599627370496 AS rem
+  FROM h
+)
+SELECT reg,
+       max(CASE WHEN rem = 0 THEN 53
+                ELSE 53 - length(bin(rem)) END)::INT AS max_rho
+FROM r GROUP BY reg
+""",
+    "q63_inverted_index": """
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+'))
+           AS term
+  FROM documents
+), tf AS (
+  SELECT term, doc, count(*)::BIGINT AS tf
+  FROM toks WHERE term != '' GROUP BY term, doc
+), stats AS (
+  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf_total
+  FROM tf GROUP BY term HAVING count(*) >= 2
+), top AS (
+  SELECT term, doc,
+         row_number() OVER (PARTITION BY term ORDER BY doc) AS rn
+  FROM tf
+), postings AS (
+  SELECT term, array_agg(doc ORDER BY doc) AS postings
+  FROM top WHERE rn <= 16 GROUP BY term
+)
+SELECT s.term, s.df, s.tf_total, p.postings, s.df > 16 AS truncated
+FROM stats s JOIN postings p USING (term)
+""",
     "q62_sequence_packing": """
 WITH RECURSIVE d AS (
   SELECT doc_id,

@@ -965,6 +965,27 @@ def q62_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                           n_shards=8, seed=0)
 
 
+def q63_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (textstats.inverted_index) over documents:
+    per-term df / total-tf / doc-sorted postings capped at 16, terms
+    appearing in at least 2 documents."""
+    docs = load(spark, sf_dir, "documents")
+    return textstats.inverted_index(docs, min_df=2, max_postings=16)
+
+
+def q64_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (ops/sketches.hll_registers, p=8)
+    over a duplicate-heavy URL stream (orders keyed mod 4096) — the
+    registers are integer-exact and oracle-gated; the float readout is
+    tested separately for accuracy."""
+    from .ops.sketches import hll_registers
+    orders = load(spark, sf_dir, "orders")
+    urls = orders.select(
+        F.concat(F.lit("https://s.ex.com/p/"),
+                 (F.col("o_orderkey") % 4096).cast("string")).alias("url"))
+    return hll_registers(urls, "url", p=8, seed=0)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1471,5 +1492,7 @@ QUERIES = {
     "q60_host_graph": q60_host_graph,
     "q61_redirect_chains": q61_redirect_chains,
     "q62_sequence_packing": q62_sequence_packing,
+    "q63_inverted_index": q63_inverted_index,
+    "q64_hll_sketch": q64_hll_sketch,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

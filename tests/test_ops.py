@@ -759,3 +759,39 @@ def test_host_mirror_stats_payload_never_shuffles(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_inverted_index_semantics(spark):
+    from pyspark.sql import Row
+
+    from datascrapexter_spark.ops.textstats import inverted_index
+
+    docs = [
+        Row(doc_id=1, text="the cat sat"),
+        Row(doc_id=2, text="the the dog"),
+        Row(doc_id=3, text="The cat"),
+        Row(doc_id=4, text="  "),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["term"]: r.asDict()
+           for r in inverted_index(df, min_df=2, max_postings=2).collect()}
+    # lowercased: 'The' and 'the' merge; df counts docs, tf_total counts
+    # occurrences
+    assert out["the"]["df"] == 3 and out["the"]["tf_total"] == 4
+    assert out["the"]["postings"] == [1, 2]       # capped at 2, doc order
+    assert out["the"]["truncated"] is True
+    assert out["cat"]["df"] == 2 and out["cat"]["postings"] == [1, 3]
+    assert out["cat"]["truncated"] is False
+    assert "sat" not in out and "dog" not in out  # min_df=2
+
+
+def test_inverted_index_plan_group_limits_postings(spark):
+    from datascrapexter_spark.ops.textstats import inverted_index
+
+    df = spark.createDataFrame([(1, "a b"), (2, "a c")],
+                               "doc_id long, text string")
+    plan = inverted_index(df, max_postings=4)._jdf \
+        .queryExecution().executedPlan().toString()
+    # per-task postings cap retained before the term exchange
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
