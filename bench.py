@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "q47_pagerank_priority",
     "q49_surt_cdx",
     "q50_revisit_priority",
+    "q59_url_templates",
+    "q62_sequence_packing",
+    "q63_inverted_index",
 ]
 
 from datascrapexter_spark.benchjob import (  # noqa: E402

@@ -69,3 +69,57 @@ def revisit_priority(history: DataFrame, url_col: str = "url",
         .alias("age_hours"),
         (rate * F.expr(f"({now_us} - last_us) div {US_PER_HOUR}"))
         .cast("long").alias("priority_micro"))
+
+
+def revisit_decisions(state: DataFrame,
+                      rate_col: str = "change_rate_micro",
+                      age_col: str = "age_hours",
+                      etag_col: str | None = None,
+                      last_modified_col: str | None = None,
+                      prior_hours_col: str | None = None,
+                      base_hours: int = 24, min_hours: int = 1,
+                      max_hours: int = 720) -> DataFrame:
+    """Turn per-URL freshness state into concrete recrawl decisions.
+
+    The bandwidth reality of recrawling at 10^10 URLs is that most
+    revisits should be HTTP revalidations, not fetches: a conditional
+    GET (If-None-Match / If-Modified-Since) costs a ~200-byte 304 when
+    the page is unchanged. This planner assigns each URL:
+
+    - ``interval_hours`` — target revisit interval, inverse to the
+      observed change rate: ``clamp(base_hours * SCALE / max(rate, 1),
+      min_hours, max_hours)`` (a page changing every fetch revisits at
+      ``base_hours``; a static page decays to ``max_hours``), further
+      capped by an optional per-URL prior (e.g. the sitemap
+      ``changefreq`` hours from sources/sitemap.py, q57);
+    - ``due`` — age reached the interval;
+    - ``decision`` — ``skip`` (not due), ``conditional_get`` (due and
+      the server gave an ETag or Last-Modified validator), ``fetch``
+      (due, no validator).
+
+    All integer/boolean codegen over the per-URL state table — zero
+    shuffle, zero Python; composes directly on ``revisit_priority``
+    output. Oracle-gated (q65).
+    """
+    interval = F.expr(
+        f"({base_hours} * {SCALE}) div greatest({rate_col}, 1)")
+    interval = F.least(F.lit(max_hours).cast("long"),
+                       F.greatest(F.lit(min_hours).cast("long"), interval))
+    if prior_hours_col is not None:
+        interval = F.least(
+            interval,
+            F.coalesce(F.col(prior_hours_col).cast("long"),
+                       F.lit(max_hours).cast("long")))
+    due = F.col(age_col) >= interval
+    cheap = F.lit(False)
+    if etag_col is not None:
+        cheap = cheap | F.coalesce(F.col(etag_col), F.lit(False))
+    if last_modified_col is not None:
+        cheap = cheap | F.coalesce(F.col(last_modified_col), F.lit(False))
+    return (state
+            .withColumn("interval_hours", interval)
+            .withColumn("due", due)
+            .withColumn("decision",
+                        F.when(~F.col("due"), F.lit("skip"))
+                        .when(cheap, F.lit("conditional_get"))
+                        .otherwise(F.lit("fetch"))))

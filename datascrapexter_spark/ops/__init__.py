@@ -14,6 +14,7 @@ north rule.
 
 from . import (  # noqa: F401
     dedup,
+    drift,
     enrich,
     graphrank,
     multimodal,
@@ -21,5 +22,6 @@ from . import (  # noqa: F401
     pipeline,
     sampling,
     similarity,
+    sketches,
     textstats,
 )

@@ -918,6 +918,31 @@ FROM t GROUP BY host, template
 
 ORACLES: dict[str, str] = {
     "q59_url_templates": _url_templates_sql(),
+    "q65_revisit_decisions": """
+WITH s AS (
+  SELECT 'https://f.ex.com/p/' || doc_id AS url,
+         (doc_id * 37) % 1000001 AS change_rate_micro,
+         doc_id % 1000 AS age_hours,
+         doc_id % 3 = 0 AS has_etag,
+         doc_id % 5 = 0 AS has_lm,
+         CASE WHEN doc_id % 4 = 0 THEN 24
+              WHEN doc_id % 4 = 1 THEN 168 END AS prior_hours
+  FROM documents
+), d AS (
+  SELECT *,
+         least(coalesce(prior_hours, 720)::BIGINT,
+               least(720::BIGINT, greatest(1::BIGINT,
+                 (24 * 1000000) // greatest(change_rate_micro, 1))))
+           AS interval_hours
+  FROM s
+)
+SELECT url, change_rate_micro, age_hours, interval_hours,
+       age_hours >= interval_hours AS due,
+       CASE WHEN age_hours < interval_hours THEN 'skip'
+            WHEN has_etag OR has_lm THEN 'conditional_get'
+            ELSE 'fetch' END AS decision
+FROM d
+""",
     "q64_hll_sketch": """
 WITH u AS (
   SELECT 'https://s.ex.com/p/' || (o_orderkey % 4096) AS url FROM orders

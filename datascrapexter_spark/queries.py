@@ -986,6 +986,30 @@ def q64_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_registers(urls, "url", p=8, seed=0)
 
 
+def q65_revisit_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-GET recrawl planner (revisit.revisit_decisions) over
+    a synthetic per-URL freshness state covering the full decision
+    lattice: rates 0..10^6, ages 0..999, ETag/Last-Modified presence,
+    and sitemap-prior caps (24 h / 168 h / none)."""
+    from .frontier.revisit import revisit_decisions
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    state = docs.select(
+        F.concat(F.lit("https://f.ex.com/p/"), i.cast("string"))
+        .alias("url"),
+        ((i * 37) % 1000001).alias("change_rate_micro"),
+        (i % 1000).alias("age_hours"),
+        (i % 3 == 0).alias("has_etag"),
+        (i % 5 == 0).alias("has_lm"),
+        F.when(i % 4 == 0, F.lit(24)).when(i % 4 == 1, F.lit(168))
+        .alias("prior_hours"))
+    out = revisit_decisions(state, etag_col="has_etag",
+                            last_modified_col="has_lm",
+                            prior_hours_col="prior_hours")
+    return out.select("url", "change_rate_micro", "age_hours",
+                      "interval_hours", "due", "decision")
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1494,5 +1518,6 @@ QUERIES = {
     "q62_sequence_packing": q62_sequence_packing,
     "q63_inverted_index": q63_inverted_index,
     "q64_hll_sketch": q64_hll_sketch,
+    "q65_revisit_decisions": q65_revisit_decisions,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

@@ -87,3 +87,59 @@ def test_single_shuffle_plan(spark, history):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the lag window and the per-url rollup share one hash Exchange on url
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_revisit_decisions_lattice(spark):
+    from pyspark.sql import Row
+
+    from datascrapexter_spark.frontier.revisit import revisit_decisions
+
+    rows = [
+        # volatile (rate 1e6): interval 24h; overdue, etag -> cond get
+        Row(url="a", change_rate_micro=1_000_000, age_hours=30,
+            has_etag=True, has_lm=False, prior_hours=None),
+        # same but no validator -> full fetch
+        Row(url="b", change_rate_micro=1_000_000, age_hours=30,
+            has_etag=False, has_lm=False, prior_hours=None),
+        # not yet due -> skip regardless of validators
+        Row(url="c", change_rate_micro=1_000_000, age_hours=23,
+            has_etag=True, has_lm=True, prior_hours=None),
+        # static (rate 0): clamps to 720h max
+        Row(url="d", change_rate_micro=0, age_hours=719,
+            has_etag=False, has_lm=False, prior_hours=None),
+        # static but sitemap prior says daily -> prior caps the interval
+        Row(url="e", change_rate_micro=0, age_hours=25,
+            has_etag=False, has_lm=True, prior_hours=24),
+        # rate so high the raw interval would be < 1h -> min clamp 1h
+        Row(url="f", change_rate_micro=1_000_000_000, age_hours=1,
+            has_etag=False, has_lm=False, prior_hours=None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, change_rate_micro long, age_hours long, "
+              "has_etag boolean, has_lm boolean, prior_hours int")
+    out = {r["url"]: r.asDict() for r in revisit_decisions(
+        df, etag_col="has_etag", last_modified_col="has_lm",
+        prior_hours_col="prior_hours").collect()}
+    assert out["a"]["interval_hours"] == 24
+    assert out["a"]["due"] is True
+    assert out["a"]["decision"] == "conditional_get"
+    assert out["b"]["decision"] == "fetch"
+    assert out["c"]["due"] is False and out["c"]["decision"] == "skip"
+    assert out["d"]["interval_hours"] == 720
+    assert out["d"]["decision"] == "skip"
+    assert out["e"]["interval_hours"] == 24
+    assert out["e"]["decision"] == "conditional_get"
+    assert out["f"]["interval_hours"] == 1 and out["f"]["due"] is True
+
+
+def test_revisit_decisions_pure_codegen(spark):
+    from pyspark.sql import Row
+
+    from datascrapexter_spark.frontier.revisit import revisit_decisions
+
+    df = spark.createDataFrame(
+        [Row(url="a", change_rate_micro=1, age_hours=1)],
+        "url string, change_rate_micro long, age_hours long")
+    plan = revisit_decisions(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
