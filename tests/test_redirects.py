@@ -50,3 +50,16 @@ def test_max_hops_validation(spark):
     out = {x["url"]: x.asDict()
            for x in resolve_redirects(df, r, max_hops=1).collect()}
     assert out["a"]["status"] == "ok" and out["a"]["n_hops"] == 0
+
+
+def test_redirect_map_cached_across_hops(spark):
+    from pyspark.sql import Row
+
+    u = spark.createDataFrame([Row(url="a")], "url string")
+    r = spark.createDataFrame([Row(src="a", dst="b"), Row(src="b", dst="c")],
+                              "src string, dst string")
+    plan = resolve_redirects(u, r, max_hops=4)._jdf \
+        .queryExecution().executedPlan().toString()
+    # every hop probes the persisted src-partitioned map (InMemory scans),
+    # so the map is shuffled once, not once per hop
+    assert plan.count("InMemoryTableScan") >= 4

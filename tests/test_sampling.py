@@ -267,3 +267,17 @@ def test_pack_sequences_shard_independence(spark):
     # offsets are consistent: max offset + its doc <= capacity
     for r in out:
         assert r["bin_offset"] + r["n_tokens"] <= 64
+
+
+def test_pack_sequences_plan_one_exchange_arrow_fold(spark):
+    from datascrapexter_spark.ops.sampling import pack_sequences
+
+    df = spark.range(50).select(F.col("id").alias("doc_id"),
+                                (F.col("id") % 7 + 1).alias("n_tokens"))
+    plan = pack_sequences(df, 64, "doc_id", n_shards=4)._jdf \
+        .queryExecution().executedPlan().toString()
+    # one hash exchange into shards; the fold is a single Arrow-batched
+    # grouped-pandas node, never a row-at-a-time UDF
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan

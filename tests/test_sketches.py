@@ -54,3 +54,12 @@ def test_register_bounds(spark):
     for r in rows:
         assert 0 <= r["reg"] < 256
         assert 1 <= r["max_rho"] <= 53
+
+
+def test_registers_single_exchange_plan(spark):
+    plan = hll_registers(_keys(spark, 0, 100), "k", p=8)._jdf \
+        .queryExecution().executedPlan().toString()
+    # map-side partial max collapses partitions to <= 2^p rows before
+    # the ONLY shuffle; no Python nodes anywhere
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan
