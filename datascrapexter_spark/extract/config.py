@@ -17,7 +17,7 @@ VALID_FIELD_TYPES = frozenset(
     {"text", "html", "attr", "list", "number", "float", "integer", "boolean",
      "date", "datetime", "time", "url", "email", "phone", "json", "csv",
      "table", "count", "exists", "jsonld", "microdata", "rdfa", "media",
-     "main_content"}
+     "main_content", "social_meta"}
 )
 
 # the one field type with an implicit selector: structured-data blocks are
@@ -42,7 +42,8 @@ class FieldConfig:
             raise ValueError("field name is required")
         if not self.selector and self.type not in ("jsonld", "microdata",
                                                    "rdfa", "media",
-                                                   "main_content"):
+                                                   "main_content",
+                                                   "social_meta"):
             raise ValueError("field selector is required")
         if not self.type:
             raise ValueError("field type is required")

@@ -51,6 +51,7 @@ _SPARK_TYPE_BY_FIELD_TYPE: dict[str, T.DataType] = {
     "jsonld": T.StringType(),  # canonical JSON dump of the parsed graph(s)
     "microdata": T.StringType(),  # canonical JSON dump of the item tree(s)
     "rdfa": T.StringType(),  # canonical JSON dump of the item tree(s)
+    "social_meta": T.StringType(),  # canonical JSON dump of the og:/twitter: map
     "media": T.ArrayType(T.MapType(T.StringType(), T.StringType())),
     "csv": T.ArrayType(T.ArrayType(T.StringType())),
     "table": T.StructType([
@@ -99,7 +100,7 @@ def _to_cell(cfg: FieldConfig, value: Any):
     if cfg.transform:
         return value if isinstance(value, str) else str(value)
     t = cfg.type
-    if t in ("json", "jsonld", "microdata", "rdfa"):
+    if t in ("json", "jsonld", "microdata", "rdfa", "social_meta"):
         return _json.dumps(value, separators=(",", ":"), sort_keys=True)
     if t == "media":
         return list(value)

@@ -319,6 +319,27 @@ def _microdata_item(node: Node) -> dict:
     return item
 
 
+# OpenGraph + Twitter-card metas, addressed by attribute prefix like
+# jsonld's MIME-type selector (no user CSS path needed)
+SOCIAL_META_DEFAULT_SELECTOR = \
+    'meta[property^="og:"], meta[name^="twitter:"]'
+
+
+def _extract_social_meta(nodes: list[Node]) -> Any:
+    """Social-share metadata rollup: {og:*/twitter:* key: content}.
+    First occurrence wins in document order — the de-facto consumer
+    rule (Facebook's and Twitter's parsers read the first tag). The
+    reference extracts metas only via per-field attr selectors; this is
+    the one-config-line rollup a scraper actually wants."""
+    out: dict[str, str] = {}
+    for node in nodes:
+        key = go_trim_space(node.attr("property") or node.attr("name")
+                            or "")
+        if key and key not in out:
+            out[key] = node.attr("content") or ""
+    return out or None
+
+
 def _extract_microdata(nodes: list[Node]) -> Any:
     """Microdata structured data: one item -> its dict, several -> a
     list (mirrors _extract_jsonld's shape)."""
@@ -485,7 +506,8 @@ def get_default_value(cfg: FieldConfig) -> Any:
         return 0
     if t in ("boolean", "exists"):
         return False
-    if t in ("json", "jsonld", "microdata", "rdfa", "table"):
+    if t in ("json", "jsonld", "microdata", "rdfa", "table",
+             "social_meta"):
         return {}
     if t == "media":
         return []
@@ -510,6 +532,8 @@ def extract_raw_value(doc: Node, cfg: FieldConfig) -> Any:
                      if not n.attr("property")]
     elif cfg.type == "media" and not selector:
         selection = select(doc, _MEDIA_DEFAULT_SELECTOR)
+    elif cfg.type == "social_meta" and not selector:
+        selection = select(doc, SOCIAL_META_DEFAULT_SELECTOR)
     elif cfg.type == "main_content" and not selector:
         # whole-document boilerplate removal by default; a selector
         # scopes classification to that subtree
@@ -560,6 +584,8 @@ def extract_raw_value(doc: Node, cfg: FieldConfig) -> Any:
         return _extract_rdfa(selection)
     if t == "media":
         return _extract_media(selection)
+    if t == "social_meta":
+        return _extract_social_meta(selection)
     if t == "csv":
         return _extract_csv(first)
     if t == "table":

@@ -918,6 +918,18 @@ FROM t GROUP BY host, template
 
 ORACLES: dict[str, str] = {
     "q59_url_templates": _url_templates_sql(),
+    "q66_social_meta": """
+SELECT doc_id,
+       'Doc ' || doc_id AS og_title,
+       'article' AS og_type,
+       CASE WHEN doc_id % 2 = 0 THEN 'summary' END AS tw_card,
+       '@site' || (doc_id % 7) AS tw_site,
+       '{"og:title":"Doc ' || doc_id || '","og:type":"article",'
+       || CASE WHEN doc_id % 2 = 0
+               THEN '"twitter:card":"summary",' ELSE '' END
+       || '"twitter:site":"@site' || (doc_id % 7) || '"}' AS social_json
+FROM documents
+""",
     "q65_revisit_decisions": """
 WITH s AS (
   SELECT 'https://f.ex.com/p/' || doc_id AS url,

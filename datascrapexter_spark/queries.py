@@ -1010,6 +1010,35 @@ def q65_revisit_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "interval_hours", "due", "decision")
 
 
+def q66_social_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenGraph/Twitter-card rollup (`type: social_meta`): one config
+    line collects every og:/twitter: meta into a sorted-key JSON dict
+    (first tag wins on duplicates — the consumer rule); scalars pulled
+    JVM-side with get_json_object."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><meta property="og:title" content="Doc '), d,
+        F.lit('"/><meta property="og:title" content="DUPLICATE"/>'
+              '<meta property="og:type" content="article"/>'),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.lit('<meta name="twitter:card" content="summary"/>'))
+        .otherwise(F.lit("")),
+        F.lit('<meta name="twitter:site" content="@site'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('"/></head><body><p>x</p></body></html>'))
+    pages = docs.select("doc_id", html.alias("html"))
+    fields = [FieldConfig(name="sm", selector="", type="social_meta")]
+    out = extract_fields_df(pages, fields)
+    return out.select(
+        "doc_id",
+        F.get_json_object("sm", "$['og:title']").alias("og_title"),
+        F.get_json_object("sm", "$['og:type']").alias("og_type"),
+        F.get_json_object("sm", "$['twitter:card']").alias("tw_card"),
+        F.get_json_object("sm", "$['twitter:site']").alias("tw_site"),
+        F.col("sm").alias("social_json"))
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1519,5 +1548,6 @@ QUERIES = {
     "q63_inverted_index": q63_inverted_index,
     "q64_hll_sketch": q64_hll_sketch,
     "q65_revisit_decisions": q65_revisit_decisions,
+    "q66_social_meta": q66_social_meta,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

@@ -297,3 +297,26 @@ def test_media_extraction():
         {"kind": "audio", "src": "/c.ogg"},
     ]
     assert extract_field(parse_html("<p>x</p>"), cfg) == []
+
+
+def test_social_meta_extraction():
+    """`type: social_meta`: og:/twitter: metas to a first-wins map."""
+    doc = parse_html(
+        '<html><head>'
+        '<meta property="og:title" content="First"/>'
+        '<meta property="og:title" content="Second"/>'
+        '<meta property="og:image" content="/img.png"/>'
+        '<meta name="twitter:card" content="summary"/>'
+        '<meta name="description" content="not social"/>'
+        '</head><body><p>x</p></body></html>')
+    cfg = FieldConfig(name="sm", selector="", type="social_meta")
+    got = extract_field(doc, cfg)
+    assert got == {"og:title": "First",          # first tag wins
+                   "og:image": "/img.png",
+                   "twitter:card": "summary"}    # plain metas excluded
+    # no social metas at all -> zero value {}
+    assert extract_field(parse_html("<p>x</p>"), cfg) == {}
+    # explicit selector overrides the default prefix selector
+    scoped = FieldConfig(name="sm", selector='meta[name^="twitter:"]',
+                         type="social_meta")
+    assert extract_field(doc, scoped) == {"twitter:card": "summary"}
