@@ -918,6 +918,31 @@ FROM t GROUP BY host, template
 
 ORACLES: dict[str, str] = {
     "q59_url_templates": _url_templates_sql(),
+    "q67_wet_pipeline": """
+WITH p AS (
+  SELECT doc_id,
+    list_filter(string_split(substr(text, 1, 150), ' '), x -> x <> '')
+      AS w1,
+    list_filter(string_split(substr(text, 151, 150), ' '), x -> x <> '')
+      AS w2
+  FROM documents
+), c AS (
+  SELECT doc_id, len(w1) AS n1, len(w2) AS n2,
+         array_to_string(w1, ' ') AS t1, array_to_string(w2, ' ') AS t2
+  FROM p
+)
+SELECT doc_id,
+  md5(concat_ws(chr(10),
+    CASE WHEN n1 >= 10 THEN t1 END,
+    CASE WHEN n2 >= 10 THEN t2 END)) AS main_md5,
+  (CASE WHEN n1 >= 10 THEN n1 ELSE 0 END
+   + CASE WHEN n2 >= 10 THEN n2 ELSE 0 END)::INT AS content_words,
+  ((1000000 * (15 + n1 + n2
+     - (CASE WHEN n1 >= 10 THEN n1 ELSE 0 END
+        + CASE WHEN n2 >= 10 THEN n2 ELSE 0 END)))
+   // (15 + n1 + n2))::BIGINT AS boiler_ppm
+FROM c
+""",
     "q66_social_meta": """
 SELECT doc_id,
        'Doc ' || doc_id AS og_title,

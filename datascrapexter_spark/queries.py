@@ -1039,6 +1039,45 @@ def q66_social_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sm").alias("social_json"))
 
 
+def q67_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common-Crawl WET derivation end-to-end IN ONE PLAN: pages
+    (q56's chrome-wrapped html) → WARC sink → WARC source →
+    main-content extraction → per-doc content stats. Any corruption in
+    the WARC framing or the Arrow extraction pass breaks main_md5, so
+    the whole chain is integrity-gated, not just each stage."""
+    from .extract.content import extract_main_content_df
+    from .sources import warc as warcio
+
+    docs = load(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit("</title></head><body>"),
+        F.lit('<div class="nav"><a href="/">home</a> '
+              '<a href="/a">about us</a> '
+              '<a href="/c">contact page now</a></div>'),
+        F.lit("<h1>Doc "), did, F.lit("</h1>"),
+        F.lit("<p>"), F.substring("text", 1, 150), F.lit("</p>"),
+        F.lit("<p>"), F.substring("text", 151, 150), F.lit("</p>"),
+        F.lit('<div class="side"><a href="/x">ad one</a> '
+              '<a href="/y">ad two</a></div>'),
+        F.lit("<p>copyright 2024 example</p></body></html>"))
+    out = tempfile.mkdtemp(prefix="dsx-wet-")
+    pages = docs.select(
+        F.concat(F.lit("https://wet.example.com/doc/"), did).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"))
+    warcio.write_warc(pages, out, num_files=8)
+    back = warcio.read_warc(spark, out)
+    pages2 = back.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long")
+        .alias("doc_id"),
+        F.decode("html", "utf-8").alias("html"))
+    mc = extract_main_content_df(pages2)
+    return mc.select("doc_id", F.md5(F.encode("main_text", "utf-8"))
+                     .alias("main_md5"), "content_words", "boiler_ppm")
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1549,5 +1588,6 @@ QUERIES = {
     "q64_hll_sketch": q64_hll_sketch,
     "q65_revisit_decisions": q65_revisit_decisions,
     "q66_social_meta": q66_social_meta,
+    "q67_wet_pipeline": q67_wet_pipeline,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
