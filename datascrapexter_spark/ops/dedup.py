@@ -750,3 +750,182 @@ def host_mirror_stats(pages: DataFrame, host_col: str = "host",
         ((F.lit(1_000_000) * F.col("n_mirrored")
           - (F.lit(1_000_000) * F.col("n_mirrored")) % F.col("n_pages"))
          / F.col("n_pages")).cast("long").alias("mirror_ppm"))
+
+
+# ---------------------------------------------------------------------------
+# within-host boilerplate line removal (CCNet / RefinedWeb style)
+# ---------------------------------------------------------------------------
+
+
+def host_boilerplate_lines(df: DataFrame, host_col: str = "host",
+                           id_col: str = "doc_id",
+                           lines_col: str = "lines",
+                           min_docs: int = 3,
+                           min_frac: float = 0.5) -> DataFrame:
+    """Per-host boilerplate line table: lines that appear in at least
+    ``min_docs`` documents AND at least ``ceil(min_frac * docs_on_host)``
+    documents of the SAME host (nav bars, footers, cookie banners — the
+    within-domain repetition that global paragraph dedup under-counts
+    because each host words it slightly differently). This is the
+    line-frequency pass of CCNet/RefinedWeb-style corpus cleaning, the
+    site-template sibling of `paragraph_dedup` (global keep-first).
+
+    Scale: lines are array_distinct'ed per document BEFORE the explode,
+    so the frequency groupBy counts documents with a plain count(*) —
+    no countDistinct expansion. Both exchanges are keyed on
+    (host, md5(line)) — a fixed-width key, never the line text — and the
+    per-host totals table (one row per host) broadcasts into the
+    threshold join. Partial aggregation collapses hot template lines
+    map-side.
+
+    Returns (host, line_hash, n_docs_with, n_docs_host).
+    """
+    per_doc = df.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.array_distinct(F.col(lines_col))).alias("line"))
+    freq = (per_doc
+            .select("host", F.md5("line").alias("line_hash"))
+            .groupBy("host", "line_hash")
+            .agg(F.count(F.lit(1)).alias("n_docs_with")))
+    totals = (df.groupBy(F.col(host_col).alias("host"))
+              .agg(F.count(F.lit(1)).alias("n_docs_host")))
+    return (freq.join(F.broadcast(totals), "host")
+            .filter((F.col("n_docs_with") >= F.lit(int(min_docs)))
+                    & (F.col("n_docs_with")
+                       >= F.ceil(F.lit(float(min_frac))
+                                 * F.col("n_docs_host"))))
+            .select("host", "line_hash", "n_docs_with", "n_docs_host"))
+
+
+def host_boilerplate_strip(df: DataFrame, host_col: str = "host",
+                           id_col: str = "doc_id",
+                           lines_col: str = "lines",
+                           min_docs: int = 3,
+                           min_frac: float = 0.5,
+                           sep: str = "\n") -> DataFrame:
+    """Strip per-host boilerplate lines (see `host_boilerplate_lines`)
+    from every document of that host and reassemble the survivors in
+    original line order. Documents whose every line is boilerplate drop
+    out entirely — the same keep-nothing contract as `paragraph_dedup`.
+
+    Scale: the strip is a left_anti equi-join of the exploded lines
+    against the boilerplate key table on (host, line_hash) — keyed,
+    AQE-skew-splittable, boilerplate-side bounded by distinct template
+    lines per host (tiny next to the corpus). Reassembly is one
+    groupBy(id); line text crosses the wire once each way.
+
+    Returns (id, host, n_lines, n_kept, text).
+    """
+    boiler = host_boilerplate_lines(
+        df, host_col, id_col, lines_col, min_docs, min_frac
+    ).select("host", "line_hash")
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(host_col).alias("host"),
+        F.size(F.col(lines_col)).alias("n_lines"),
+        F.posexplode(F.col(lines_col)).alias("pos", "line"),
+    ).withColumn("line_hash", F.md5("line"))
+    kept = ex.join(boiler, ["host", "line_hash"], "left_anti")
+    return kept.groupBy("_id").agg(
+        F.first("host").alias("host"),
+        F.first("n_lines").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text"),
+    ).select(F.col("_id").alias(id_col), "host", "n_lines", "n_kept", "text")
+
+
+# ---------------------------------------------------------------------------
+# repeated-span removal (Lee et al. 2022, fixed-window form)
+# ---------------------------------------------------------------------------
+
+
+def repeated_span_dedup(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 12,
+                        sep: str = " ") -> DataFrame:
+    """Exact substring-level dedup, fixed-window form: any ``k``-token
+    span whose exact text occurs more than once in the corpus is removed
+    from every occurrence EXCEPT the globally first one (smallest
+    (id, position)). This is the windowed approximation of suffix-array
+    substring dedup ("Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022): a duplicated run of length >= k is covered
+    by its duplicated k-windows, so the whole run is removed from the
+    non-first occurrences; runs shorter than k are kept (by contract).
+
+    Plan shape (the scale path):
+      1. window hashes are computed IN PLACE per row — a pure Project
+         emitting (id, pos, md5 of the k-token join) via a HOF over the
+         position sequence; no token stream is ever exploded or shuffled.
+         Like `shingles_col`, the HOF re-derives the token array per
+         element JVM-locally — linear char work per window, the explicit
+         trade that keeps tokens out of every Exchange.
+      2. the only corpus-width shuffle is the winner groupBy on the
+         32-char window hash (map-side partial min/count), then a keyed
+         join of occurrences back to multi-occurrence hashes only.
+      3. covered token positions are aggregated per doc (bounded by the
+         doc's own duplicated spans) and joined back to the ORIGINAL doc
+         row on id; the cleaned text is rebuilt per row with an array
+         filter — document text itself never moves through any exchange.
+
+    Winner ordering key is ``id * 2^20 + pos`` (documented limit:
+    positions < 2^20 tokens per document), a single BIGINT an external
+    SQL oracle reproduces exactly.
+
+    Returns (id, n_tokens, n_kept, text) — n_kept/text after removal;
+    docs shorter than k tokens pass through untouched.
+    """
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    toks = tokens_col("_text")
+    occ = (base
+           .filter(F.size(toks) >= k)
+           .select(
+               "_id",
+               F.posexplode(
+                   F.transform(
+                       F.sequence(F.lit(0), F.size(toks) - k),
+                       lambda i: F.md5(
+                           F.array_join(F.slice(toks, i + 1, k), " ")),
+                   )).alias("pos", "h"))
+           .withColumn("wkey",
+                       F.col("_id") * F.lit(1 << 20) + F.col("pos")))
+    winners = (occ.groupBy("h")
+               .agg(F.min("wkey").alias("wmin"),
+                    F.count(F.lit(1)).alias("c"))
+               .filter(F.col("c") > 1)
+               .select("h", "wmin"))
+    covered = (occ.join(winners, "h")
+               .filter(F.col("wkey") != F.col("wmin"))
+               .select(
+                   "_id",
+                   F.explode(F.sequence(F.col("pos"),
+                                        F.col("pos") + F.lit(k - 1)))
+                   .alias("tpos"))
+               .distinct()
+               .groupBy("_id")
+               .agg(F.collect_list("tpos").alias("cov")))
+    joined = base.join(covered, "_id", "left")
+    toks2 = tokens_col("_text")
+    # guard: sequence(0, -1) DESCENDS in Spark, so empty docs must skip
+    # the zip entirely rather than rely on it producing an empty array
+    empty = F.size(toks2) == 0
+    kept_toks = F.filter(
+        F.arrays_zip(toks2, F.sequence(F.lit(0),
+                                       F.greatest(F.size(toks2) - 1,
+                                                  F.lit(0)))),
+        lambda s: F.when(F.col("cov").isNull(), F.lit(True))
+                   .otherwise(~F.array_contains(F.col("cov"), s["1"])),
+    )
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.size(toks2).cast("int").alias("n_tokens"),
+        F.when(empty, F.lit(0)).otherwise(F.size(kept_toks))
+        .cast("long").alias("n_kept"),
+        F.when(empty, F.lit("")).otherwise(
+            F.array_join(F.transform(kept_toks, lambda s: s["0"]), sep))
+        .alias("text"),
+    )

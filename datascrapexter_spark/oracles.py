@@ -916,8 +916,105 @@ FROM t GROUP BY host, template
 """.replace("MD", md).replace("CASE_EXPR", case)
 
 
+# q68: same line rendering as the Spark side (_hostdocs_with_lines), then the
+# CCNet-style within-host frequency pass re-derived independently.
+_HOST_BOILERPLATE_SQL = r"""
+WITH d0 AS (
+  SELECT doc_id, source AS host,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id, host,
+         list_transform(range(1, CAST(ceil(len(toks) / 8.0) AS INT) + 1),
+                        i -> array_to_string(toks[(i-1)*8+1 : i*8], ' '))
+         || (CASE WHEN doc_id % 10 <> 0
+                  THEN ['all rights reserved footer ' || host]
+                  ELSE [] END)
+         || (CASE WHEN doc_id % 3 = 0
+                  THEN ['subscribe newsletter updates ' || host]
+                  ELSE [] END) AS lines
+  FROM d0
+), e AS (
+  SELECT doc_id, host, len(lines)::INT AS n_lines,
+         unnest(lines) AS line,
+         unnest(range(len(lines)))::INT AS pos
+  FROM d
+), per_doc AS (
+  SELECT DISTINCT doc_id, host, md5(line) AS lh FROM e
+), freq AS (
+  SELECT host, lh, count(*) AS nd FROM per_doc GROUP BY host, lh
+), totals AS (
+  SELECT host, count(*) AS n_docs FROM d GROUP BY host
+), boiler AS (
+  SELECT f.host, f.lh
+  FROM freq f JOIN totals t USING (host)
+  WHERE f.nd >= 3 AND f.nd >= ceil(0.5 * t.n_docs)
+), kept AS (
+  SELECT e.doc_id, e.host, e.n_lines, e.line, e.pos
+  FROM e LEFT JOIN boiler b
+    ON e.host = b.host AND md5(e.line) = b.lh
+  WHERE b.lh IS NULL
+)
+SELECT doc_id, any_value(host) AS host, any_value(n_lines) AS n_lines,
+       count(*)::BIGINT AS n_kept,
+       string_agg(line, chr(10) ORDER BY pos) AS text
+FROM kept GROUP BY doc_id
+"""
+
+
+# q69: fixed-12-token-window exact span dedup, winner = min(doc_id*2^20+pos),
+# re-derived with list functions (window hashes, covered positions, rebuild).
+_REPEATED_SPANS_SQL = r"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         'intro w' || (doc_id % 7) || ' ' || text AS text
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM corpus
+), occ0 AS (
+  SELECT doc_id,
+         unnest(range(greatest(len(toks) - 11, 0)))::INT AS pos,
+         unnest(list_transform(
+             range(greatest(len(toks) - 11, 0)),
+             i -> md5(array_to_string(toks[i+1 : i+12], ' ')))) AS h
+  FROM t
+), occ AS (
+  SELECT doc_id, pos, h, doc_id * 1048576 + pos AS wkey FROM occ0
+), w AS (
+  SELECT h, min(wkey) AS wmin FROM occ GROUP BY h HAVING count(*) > 1
+), dup AS (
+  SELECT o.doc_id, o.pos FROM occ o JOIN w USING (h) WHERE o.wkey <> w.wmin
+), cov AS (
+  SELECT DISTINCT doc_id, tpos FROM (
+    SELECT doc_id, unnest(range(pos, pos + 12))::BIGINT AS tpos FROM dup)
+), covlist AS (
+  SELECT doc_id, list(tpos) AS cov FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       len(toks)::INT AS n_tokens,
+       (CASE WHEN c.cov IS NULL THEN len(toks)
+             ELSE len(list_filter(range(len(toks)),
+                                  i -> NOT list_contains(c.cov, i)))
+        END)::BIGINT AS n_kept,
+       CASE WHEN c.cov IS NULL THEN array_to_string(toks, ' ')
+            ELSE coalesce(array_to_string(
+                list_transform(
+                    list_filter(range(len(toks)),
+                                i -> NOT list_contains(c.cov, i)),
+                    i -> toks[i+1]), ' '), '')
+       END AS text
+FROM t LEFT JOIN covlist c USING (doc_id)
+"""
+
+
 ORACLES: dict[str, str] = {
     "q59_url_templates": _url_templates_sql(),
+    "q68_host_boilerplate": _HOST_BOILERPLATE_SQL,
+    "q69_repeated_spans": _REPEATED_SPANS_SQL,
     "q67_wet_pipeline": """
 WITH p AS (
   SELECT doc_id,

@@ -1078,6 +1078,57 @@ def q67_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("main_md5"), "content_words", "boiler_ppm")
 
 
+def _hostdocs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents rendered as per-host line lists: tokens grouped 8 per
+    line (q36's rendering), plus a per-host footer injected into 90% of
+    each host's docs (above the boilerplate threshold -> stripped) and a
+    promo line into ~33% (below it -> kept). host = `source`."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").alias("host"), "text")
+    toks = F.split(F.trim(F.col("text")), " +")
+    n_lines = F.floor((F.size(toks) + F.lit(7)) / F.lit(8)).cast("int")
+    base_lines = F.transform(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: F.array_join(F.slice(toks, (i - 1) * 8 + 1, 8), " "))
+    footer = F.when(
+        F.col("doc_id") % 10 != 0,
+        F.array(F.concat(F.lit("all rights reserved footer "),
+                         F.col("host")))
+    ).otherwise(F.array().cast("array<string>"))
+    promo = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.array(F.concat(F.lit("subscribe newsletter updates "),
+                         F.col("host")))
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", "host",
+        F.concat(base_lines, footer, promo).alias("lines"))
+
+
+def q68_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-host boilerplate line removal (CCNet/RefinedWeb line-freq
+    pass): lines appearing in >= max(3, 50%) of a host's documents are
+    stripped host-wide; surviving lines reassemble in original order."""
+    d = _hostdocs_with_lines(spark, sf_dir)
+    return dedup.host_boilerplate_strip(
+        d, host_col="host", id_col="doc_id", lines_col="lines",
+        min_docs=3, min_frac=0.5)
+
+
+def q69_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup, fixed-12-token-window form (Lee et
+    al. 2022): the corpus is documents plus a mutant per doc embedding
+    the full original text behind a 2-token intro — every copied span is
+    removed from the globally-later occurrence only."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    mutated = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("intro w"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(" "), F.col("text")).alias("text"))
+    corpus = docs.unionByName(mutated)
+    return dedup.repeated_span_dedup(corpus, "doc_id", "text", k=12)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1589,5 +1640,7 @@ QUERIES = {
     "q65_revisit_decisions": q65_revisit_decisions,
     "q66_social_meta": q66_social_meta,
     "q67_wet_pipeline": q67_wet_pipeline,
+    "q68_host_boilerplate": q68_host_boilerplate,
+    "q69_repeated_spans": q69_repeated_spans,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
