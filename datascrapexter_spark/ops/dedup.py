@@ -858,12 +858,14 @@ def repeated_span_dedup(df: DataFrame, id_col: str = "doc_id",
     non-first occurrences; runs shorter than k are kept (by contract).
 
     Plan shape (the scale path):
-      1. window hashes are computed IN PLACE per row — a pure Project
-         emitting (id, pos, md5 of the k-token join) via a HOF over the
-         position sequence; no token stream is ever exploded or shuffled.
-         Like `shingles_col`, the HOF re-derives the token array per
-         element JVM-locally — linear char work per window, the explicit
-         trade that keeps tokens out of every Exchange.
+      1. window hashes: positions explode through a Generate that
+         CARRIES the materialized token array, and the md5-of-slice is a
+         plain Project above it. The Generate is deliberate — a HOF over
+         the position sequence would have CollapseProject re-inline the
+         split() into the lambda and re-tokenize the text once PER
+         WINDOW (measured 8x wall at sf0.1); through a Generate the
+         array is computed once per document and only (id, pos, hash)
+         leaves the stage. All local, zero exchange.
       2. the only corpus-width shuffle is the winner groupBy on the
          32-char window hash (map-side partial min/count), then a keyed
          join of occurrences back to multi-occurrence hashes only.
@@ -882,15 +884,15 @@ def repeated_span_dedup(df: DataFrame, id_col: str = "doc_id",
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     toks = tokens_col("_text")
     occ = (base
-           .filter(F.size(toks) >= k)
+           .select("_id", toks.alias("_toks"))
+           .filter(F.size("_toks") >= k)
+           .select("_id", "_toks",
+                   F.explode(F.sequence(F.lit(0), F.size("_toks") - k))
+                   .alias("pos"))
            .select(
-               "_id",
-               F.posexplode(
-                   F.transform(
-                       F.sequence(F.lit(0), F.size(toks) - k),
-                       lambda i: F.md5(
-                           F.array_join(F.slice(toks, i + 1, k), " ")),
-                   )).alias("pos", "h"))
+               "_id", "pos",
+               F.md5(F.array_join(F.slice("_toks", F.col("pos") + 1, k),
+                                  " ")).alias("h"))
            .withColumn("wkey",
                        F.col("_id") * F.lit(1 << 20) + F.col("pos")))
     winners = (occ.groupBy("h")
