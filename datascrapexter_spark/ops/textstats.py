@@ -9,7 +9,7 @@ The text-normalization semantics reuse the reference's CleanString family
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import tokens_col
@@ -385,3 +385,79 @@ def inverted_index(docs: DataFrame, id_col: str = "doc_id",
     return (stats.join(postings, "term")
             .select("term", "df", "tf_total", "postings",
                     (F.col("df") > max_postings).alias("truncated")))
+
+
+def char_lm_surprisal(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      model: DataFrame | None = None) -> DataFrame:
+    """Corpus-trained character n-gram LM quality score, integer-exact.
+
+    The CCNet/RedPajama quality step scores each document by KenLM
+    perplexity — average per-token surprisal under a reference LM — and
+    filters the high-perplexity (unusual-character-distribution) tail.
+    This is that operator with the transcendental replaced by the
+    bit-length integer: surprisal(g) = bitlen(T) - bitlen(count(g))
+    (an integer within 1 of log2(T/count), the same trick as the HLL
+    rho), so every value is a BIGINT an independent SQL engine
+    reproduces bit-for-bit — the repo-wide oracle discipline
+    (tfidf_topk's rationale). Ranking behavior matches log2 up to
+    bucket granularity; the filter-threshold use case is unchanged.
+
+    ``model`` is an optional (gram, cnt) table from a previous
+    ``char_lm_surprisal`` corpus (score one corpus under another's LM —
+    the actual CCNet setup, where the LM is trained on Wikipedia);
+    default trains on ``docs`` itself. Grams absent from the model get
+    the maximum surprisal bitlen(T).
+
+    Scale shape: grams explode through a Generate that carries the text
+    column (position sequence is the exploded side); per-(doc, gram)
+    counts collapse map-side before the only corpus-width exchange; the
+    (doc,gram) base is persisted because two consumers (model training +
+    scoring join) would otherwise each rescan the corpus — the q43
+    lesson. The model side of the scoring join is gram-keyed and
+    aggregate-width; the one-row bits(T) total joins on a constant key
+    (broadcast). Documents shorter than n chars score 0 by contract.
+
+    Returns (id, n_grams, sum_bits, avg_millibits) — avg_millibits =
+    (1000 * sum_bits) / n_grams in exact integer division.
+    """
+    base = docs.select(F.col(id_col).alias("_id"),
+                       F.col(text_col).alias("_text"))
+    grams = (base
+             .filter(F.length("_text") >= n)
+             .select("_id", "_text",
+                     F.explode(F.sequence(
+                         F.lit(1), F.length("_text") - (n - 1)))
+                     .alias("gpos"))
+             .select("_id",
+                     F.col("_text").substr(F.col("gpos"), F.lit(n))
+                     .alias("gram")))
+    doc_tf = (grams.groupBy("_id", "gram")
+              .agg(F.count(F.lit(1)).alias("tf")).persist())
+    if model is None:
+        model = doc_tf.groupBy("gram").agg(F.sum("tf").alias("cnt"))
+    model_bits = model.select(
+        "gram", F.length(F.bin(F.col("cnt"))).cast("int").alias("bits"))
+    totals = (model.agg(F.sum("cnt").alias("t"))
+              .select(F.length(F.bin(F.col("t"))).cast("int")
+                      .alias("bits_t"),
+                      F.lit(1).alias("_k")))
+    per_doc = (doc_tf.join(model_bits, "gram", "left")
+               .groupBy("_id")
+               .agg(F.sum("tf").alias("n_grams"),
+                    F.sum(F.col("tf") * F.coalesce("bits", F.lit(0)))
+                    .alias("_wb")))
+    sb = F.col("n_grams") * F.col("bits_t") - F.col("_wb")
+    millibits = ((F.lit(1000) * sb - (F.lit(1000) * sb)
+                  % F.col("n_grams")) / F.col("n_grams")).cast("long")
+    return (base.select("_id")
+            .join(per_doc, "_id", "left")
+            .withColumn("_k", F.lit(1))
+            .join(F.broadcast(totals), "_k")
+            .select(
+                F.col("_id").alias(id_col),
+                F.coalesce("n_grams", F.lit(0)).cast("long")
+                .alias("n_grams"),
+                F.coalesce(sb, F.lit(0)).cast("long").alias("sum_bits"),
+                F.coalesce(millibits, F.lit(0)).cast("long")
+                .alias("avg_millibits")))

@@ -1011,10 +1011,45 @@ FROM t LEFT JOIN covlist c USING (doc_id)
 """
 
 
+# q70: integer-exact char-trigram LM surprisal — bitlen(T) - bitlen(cnt)
+# per gram, weighted by in-doc frequency; exact integer division for the
+# per-gram average (millibits).
+_LM_SURPRISAL_SQL = r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(text) - 1),
+                               i -> substr(text, i::INT, 3))) AS gram
+  FROM d WHERE len(text) >= 3
+), tf AS (
+  SELECT doc_id, gram, count(*) AS tf FROM g GROUP BY doc_id, gram
+), model AS (
+  SELECT gram, sum(tf)::BIGINT AS cnt FROM tf GROUP BY gram
+), mb AS (
+  SELECT gram, length(format('{:b}', cnt))::INT AS bits FROM model
+), tot AS (
+  SELECT length(format('{:b}', sum(cnt)::BIGINT))::INT AS bits_t FROM model
+), pd AS (
+  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_grams,
+         sum(tf.tf * coalesce(mb.bits, 0))::BIGINT AS wb
+  FROM tf LEFT JOIN mb USING (gram) GROUP BY tf.doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(pd.n_grams * t.bits_t - pd.wb, 0)::BIGINT AS sum_bits,
+       (CASE WHEN pd.n_grams IS NULL OR pd.n_grams = 0 THEN 0
+             ELSE (1000 * (pd.n_grams * t.bits_t - pd.wb)) // pd.n_grams
+        END)::BIGINT AS avg_millibits
+FROM d LEFT JOIN pd USING (doc_id) CROSS JOIN tot t
+"""
+
+
 ORACLES: dict[str, str] = {
     "q59_url_templates": _url_templates_sql(),
     "q68_host_boilerplate": _HOST_BOILERPLATE_SQL,
     "q69_repeated_spans": _REPEATED_SPANS_SQL,
+    "q70_lm_surprisal": _LM_SURPRISAL_SQL,
     "q67_wet_pipeline": """
 WITH p AS (
   SELECT doc_id,

@@ -1129,6 +1129,15 @@ def q69_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.repeated_span_dedup(corpus, "doc_id", "text", k=12)
 
 
+def q70_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained char-trigram LM quality score (CCNet's KenLM
+    perplexity step in the repo's integer-exact bit-length form):
+    every doc scored by average per-gram surprisal under the LM trained
+    on the same corpus."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.char_lm_surprisal(docs, "doc_id", "text", n=3)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1642,5 +1651,6 @@ QUERIES = {
     "q67_wet_pipeline": q67_wet_pipeline,
     "q68_host_boilerplate": q68_host_boilerplate,
     "q69_repeated_spans": q69_repeated_spans,
+    "q70_lm_surprisal": q70_lm_surprisal,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

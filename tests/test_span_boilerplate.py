@@ -5,7 +5,6 @@ correctness is oracle-gated (q68/q69 in tools/check_queries.py).
 """
 
 import pytest
-from pyspark.sql import functions as F
 
 from datascrapexter_spark.ops import dedup
 
@@ -118,3 +117,41 @@ def test_span_dedup_no_duplicates_is_identity(spark):
     got = _rows(out, "doc_id", "text")
     assert got == {(i, " ".join(f"t{i}w{j}" for j in range(8)))
                    for i in range(6)}
+
+
+# ---------------------------------------------------------------------------
+# char_lm_surprisal
+# ---------------------------------------------------------------------------
+
+
+def test_lm_surprisal_self_trained_integers(spark):
+    from datascrapexter_spark.ops import textstats
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaab"), (3, "x")], "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in textstats.char_lm_surprisal(docs).collect()}
+    # corpus grams: doc1 {aaa:2}, doc2 {aaa:1, aab:1}; T=4 (bits_t=3)
+    # bits: aaa cnt=3 -> 2 bits; aab cnt=1 -> 1 bit
+    # doc1: 2 grams, sum = 2*(3-2) = 2; avg = 1000
+    assert (out[1]["n_grams"], out[1]["sum_bits"],
+            out[1]["avg_millibits"]) == (2, 2, 1000)
+    # doc2: aaa (3-2=1) + aab (3-1=2) = 3; avg = 1500
+    assert (out[2]["n_grams"], out[2]["sum_bits"],
+            out[2]["avg_millibits"]) == (2, 3, 1500)
+    # shorter than n: zero score by contract, row kept
+    assert (out[3]["n_grams"], out[3]["sum_bits"],
+            out[3]["avg_millibits"]) == (0, 0, 0)
+
+
+def test_lm_surprisal_external_model_unseen_gram_max(spark):
+    from datascrapexter_spark.ops import textstats
+    # external model: abc:2, bca:1, cab:1 -> T=4, bits_t=3
+    grams = spark.createDataFrame(
+        [("abc", 2), ("bca", 1), ("cab", 1)], "gram string, cnt long")
+    score = spark.createDataFrame(
+        [(9, "abczzz")], "doc_id long, text string")
+    out = textstats.char_lm_surprisal(score, model=grams).collect()[0]
+    # grams: abc (bits 2 -> surprisal 1), bcz/czz/zzz unseen -> 3 each
+    assert out["n_grams"] == 4
+    assert out["sum_bits"] == 1 + 3 + 3 + 3
+    assert out["avg_millibits"] == (1000 * 10) // 4
