@@ -461,3 +461,74 @@ def char_lm_surprisal(docs: DataFrame, id_col: str = "doc_id",
                 F.coalesce(sb, F.lit(0)).cast("long").alias("sum_bits"),
                 F.coalesce(millibits, F.lit(0)).cast("long")
                 .alias("avg_millibits")))
+
+
+def fit_vocabulary(docs: DataFrame, vocab_size: int,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Tokenizer vocabulary induction: the ``vocab_size`` most frequent
+    whitespace tokens corpus-wide, deterministic tie-break by token
+    (count DESC, token ASC) so the fitted vocab is reproducible across
+    engines and runs — the fit step before any OOV filtering or
+    tokenizer training.
+
+    Scale: explode → groupBy(token) with map-side partials (stopwords
+    collapse before the exchange), then orderBy().limit() — which plans
+    as TakeOrderedAndProject, the distributed two-phase top-k (each task
+    keeps its local top ``vocab_size``, the driver merges task tops) —
+    NOT a row_number over a global window, which would single-partition
+    the full corpus vocabulary. Ranks are then assigned over the
+    already-trimmed vocab_size rows.
+
+    Returns (token, cnt, rank), rank 1-based.
+    """
+    from pyspark.sql import Window
+
+    counts = (docs.select(F.explode(tokens_col(text_col)).alias("token"))
+              .filter(F.col("token") != "")
+              .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+    top = (counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+           .limit(vocab_size))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("token", "cnt", "rank"))
+
+
+def oov_stats(docs: DataFrame, vocab: DataFrame,
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document out-of-vocabulary rate against a fitted vocabulary
+    (`fit_vocabulary` output or any (token, ...) table): the filter
+    signal for "this page is mostly tokens the tokenizer fragments"
+    (non-target-language, codey, or garbled text).
+
+    Scale: the vocab side broadcasts (a tokenizer vocab is bounded —
+    32-256k rows); the corpus side aggregates per (doc, token) first so
+    the join touches doc-vocabulary-width rows, then one groupBy(id)
+    rollup. oov_ppm is exact integer arithmetic (same contract as
+    host_mirror_stats).
+
+    Returns (id, n_tokens, n_oov, oov_ppm).
+    """
+    toks = (docs.select(F.col(id_col),
+                        F.explode(tokens_col(text_col)).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")))
+    vb = F.broadcast(vocab.select("token").distinct()
+                     .withColumn("_in", F.lit(1)))
+    per_doc = (toks.join(vb, "token", "left")
+               .groupBy(id_col)
+               .agg(F.sum("tf").alias("n_tokens"),
+                    F.sum(F.when(F.col("_in").isNull(), F.col("tf"))
+                          .otherwise(0)).alias("n_oov")))
+    ppm = ((F.lit(1_000_000) * F.col("n_oov")
+            - (F.lit(1_000_000) * F.col("n_oov")) % F.col("n_tokens"))
+           / F.col("n_tokens")).cast("long")
+    return (docs.select(id_col)
+            .join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).cast("long")
+                    .alias("n_tokens"),
+                    F.coalesce("n_oov", F.lit(0)).cast("long")
+                    .alias("n_oov"),
+                    F.coalesce(ppm, F.lit(0)).alias("oov_ppm")))

@@ -1045,11 +1045,41 @@ FROM d LEFT JOIN pd USING (doc_id) CROSS JOIN tot t
 """
 
 
+# q71: vocab fit (top-16, count DESC token ASC) + per-doc OOV ppm, all
+# exact integers.
+_VOCAB_OOV_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
+                                    x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+), counts AS (
+  SELECT token, sum(tf)::BIGINT AS cnt FROM tf GROUP BY token
+), vocab AS (
+  SELECT token FROM (
+    SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC) AS r
+    FROM counts) WHERE r <= 16
+), pd AS (
+  SELECT tf.doc_id, sum(tf.tf)::BIGINT AS n_tokens,
+         sum(CASE WHEN v.token IS NULL THEN tf.tf ELSE 0 END)::BIGINT
+           AS n_oov
+  FROM tf LEFT JOIN vocab v USING (token) GROUP BY tf.doc_id
+)
+SELECT d.doc_id,
+       coalesce(pd.n_tokens, 0)::BIGINT AS n_tokens,
+       coalesce(pd.n_oov, 0)::BIGINT AS n_oov,
+       coalesce((1000000 * pd.n_oov) // pd.n_tokens, 0)::BIGINT AS oov_ppm
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
 ORACLES: dict[str, str] = {
     "q59_url_templates": _url_templates_sql(),
     "q68_host_boilerplate": _HOST_BOILERPLATE_SQL,
     "q69_repeated_spans": _REPEATED_SPANS_SQL,
     "q70_lm_surprisal": _LM_SURPRISAL_SQL,
+    "q71_vocab_oov": _VOCAB_OOV_SQL,
     "q67_wet_pipeline": """
 WITH p AS (
   SELECT doc_id,

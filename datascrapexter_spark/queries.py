@@ -1138,6 +1138,15 @@ def q70_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.char_lm_surprisal(docs, "doc_id", "text", n=3)
 
 
+def q71_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary induction + per-doc OOV rate: fit the top-16
+    corpus tokens (count DESC, token ASC — deterministic), score every
+    document's out-of-vocabulary ppm against the fitted vocab."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = textstats.fit_vocabulary(docs, vocab_size=16)
+    return textstats.oov_stats(docs, vocab)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1652,5 +1661,6 @@ QUERIES = {
     "q68_host_boilerplate": q68_host_boilerplate,
     "q69_repeated_spans": q69_repeated_spans,
     "q70_lm_surprisal": q70_lm_surprisal,
+    "q71_vocab_oov": q71_vocab_oov,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

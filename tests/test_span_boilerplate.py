@@ -155,3 +155,35 @@ def test_lm_surprisal_external_model_unseen_gram_max(spark):
     assert out["n_grams"] == 4
     assert out["sum_bits"] == 1 + 3 + 3 + 3
     assert out["avg_millibits"] == (1000 * 10) // 4
+
+
+# ---------------------------------------------------------------------------
+# fit_vocabulary / oov_stats
+# ---------------------------------------------------------------------------
+
+
+def test_fit_vocabulary_topk_deterministic(spark):
+    from datascrapexter_spark.ops import textstats
+    docs = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a c d")], "doc_id long, text string")
+    out = [(r["token"], r["cnt"], r["rank"])
+           for r in textstats.fit_vocabulary(docs, 3).orderBy("rank").collect()]
+    # a:3 b:3 (tie -> token asc), c:2
+    assert out == [("a", 3, 1), ("b", 3, 2), ("c", 2, 3)]
+    plan = textstats.fit_vocabulary(docs, 3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_oov_stats_exact_ppm(spark):
+    from datascrapexter_spark.ops import textstats
+    docs = spark.createDataFrame(
+        [(1, "a a b zz"), (2, "zz zz"), (3, "a"), (4, "")],
+        "doc_id long, text string")
+    vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+    out = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["oov_ppm"])
+           for r in textstats.oov_stats(docs, vocab).collect()}
+    assert out[1] == (4, 1, 250000)
+    assert out[2] == (2, 2, 1000000)
+    assert out[3] == (1, 0, 0)
+    assert out[4] == (0, 0, 0)   # empty doc: zero contract, row kept
