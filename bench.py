@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "q59_url_templates",
     "q62_sequence_packing",
     "q63_inverted_index",
+    "q69_repeated_spans",
+    "q70_lm_surprisal",
 ]
 
 from datascrapexter_spark.benchjob import (  # noqa: E402

@@ -220,6 +220,29 @@ def minhash_signature(
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def _band_buckets(sig: DataFrame, id_col: str, num_hashes: int,
+                  bands: int) -> DataFrame:
+    """(id, band, key) rows from a minhash_signature frame: band key =
+    md5 of the band's '|'-joined hash slices — the LSH bucket identity
+    shared by the pair join, the persisted index layout, and the DuckDB
+    oracle."""
+    rows = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"h{j * rows + r}") for r in range(rows)])
+                ).alias("key"),
+            )
+            for j in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
+        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -250,23 +273,9 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    rows = num_hashes // bands
     sig = minhash_signature(df, id_col, text_col, n, num_hashes,
                             max_shingle_doc_freq)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.md5(
-                    F.concat_ws("|", *[F.col(f"h{j * rows + r}") for r in range(rows)])
-                ).alias("key"),
-            )
-            for j in range(bands)
-        ]
-    )
-    buckets = sig.select(F.col(id_col), F.explode(band_structs).alias("bk")).select(
-        F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
+    buckets = _band_buckets(sig, id_col, num_hashes, bands)
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "key")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "key")
     cand = (
@@ -296,6 +305,199 @@ def minhash_lsh_pairs(
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (continuous-crawl) dedup: new batch vs persisted corpus index
+# ---------------------------------------------------------------------------
+
+
+def minhash_batch_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_shingle_doc_freq: int | None = None,
+) -> DataFrame:
+    """Cross-corpus MinHash-LSH: (new-batch doc, corpus doc) near-dup
+    pairs — the per-crawl dedup decision of a continuous pipeline
+    ("is this newly fetched page a near-copy of anything already kept?").
+
+    Same contract as minhash_lsh_pairs but asymmetric: candidates come
+    from a (band, key) equi-join between the BATCH's buckets and the
+    CORPUS's buckets, and every candidate is verified with the exact
+    shingle Jaccard. Output (id_new, id_corpus, jaccard); within-batch
+    duplicates are minhash_lsh_pairs' job, not this one's.
+
+    Scale: the corpus side is touched twice (signatures + verification
+    arrays). For the never-rescan-the-corpus path use write_minhash_index
+    + dedup_batch_indexed, which reads only the batch's bucket partitions
+    and the candidates' shingle shards.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    cb = _band_buckets(
+        minhash_signature(corpus, id_col, text_col, n, num_hashes,
+                          max_shingle_doc_freq), id_col, num_hashes, bands,
+    ).select(F.col(id_col).alias("id_corpus"), "band", "key")
+    bb = _band_buckets(
+        minhash_signature(batch, id_col, text_col, n, num_hashes),
+        id_col, num_hashes, bands,
+    ).select(F.col(id_col).alias("id_new"), "band", "key")
+    cand = bb.join(cb, ["band", "key"]).select("id_new", "id_corpus").distinct()
+    sh_c = corpus.select(
+        F.col(id_col).alias("id_corpus"),
+        F.array_distinct(shingles_col(text_col, n)).alias("sh_c"),
+    )
+    sh_b = batch.select(
+        F.col(id_col).alias("id_new"),
+        F.array_distinct(shingles_col(text_col, n)).alias("sh_b"),
+    )
+    common = F.size(F.array_intersect("sh_b", "sh_c"))
+    jac = common / (F.size("sh_b") + F.size("sh_c") - common)
+    return (
+        cand.join(sh_b, "id_new")
+        .join(sh_c, "id_corpus")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_corpus", "jaccard")
+    )
+
+
+def write_minhash_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    key_prefix_len: int = 2,
+    n_shingle_shards: int = 16,
+    max_shingle_doc_freq: int | None = None,
+) -> None:
+    """Persist the corpus's dedup identity in a probe-prunable at-rest
+    layout, so each new crawl batch dedupes against 100 TB of kept docs
+    WITHOUT rescanning them (the q18/q26 persisted-ANN pattern applied
+    to MinHash):
+
+      {path}/buckets/   (id, key) partitioned by (band, kp) where
+                        kp = first `key_prefix_len` hex chars of the band
+                        key — bands x 16^kp_len partitions; a probe reads
+                        only the batch's (band, kp) cells.
+      {path}/shingles/  (id, sh: distinct shingle array) partitioned by
+                        shard = pmod(xxhash64(id), n_shingle_shards) —
+                        exact-verification arrays fetched per-shard for
+                        candidate ids only.
+
+    Both tables carry values the DuckDB oracle reproduces from the raw
+    corpus (md5 band keys, distinct word-n-gram shingles); the layout is
+    physical only. In production this is the Iceberg table a nightly
+    compaction owns; new kept docs append to both (partition-local
+    writes, no global rewrite).
+    """
+    sig = minhash_signature(corpus, id_col, text_col, n, num_hashes,
+                            max_shingle_doc_freq)
+    bk = _band_buckets(sig, id_col, num_hashes, bands).select(
+        F.col(id_col).alias("cid"), "key", "band",
+        F.substring("key", 1, key_prefix_len).alias("kp"),
+    )
+    # repartition on the partition keys: every writer task owns whole
+    # cells, so a write emits one file per (band, kp) instead of
+    # n_tasks x n_cells small files (and at corpus scale the shuffle is
+    # the keyed exchange the layout needs anyway)
+    (bk.repartition("band", "kp")
+     .write.mode("overwrite").partitionBy("band", "kp")
+     .parquet(f"{path}/buckets"))
+    sh = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.array_distinct(shingles_col(text_col, n)).alias("sh"),
+        F.pmod(F.xxhash64(id_col), F.lit(n_shingle_shards)).alias("shard"),
+    )
+    (sh.repartition("shard")
+     .write.mode("overwrite").partitionBy("shard")
+     .parquet(f"{path}/shingles"))
+
+
+def dedup_batch_indexed(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    key_prefix_len: int = 2,
+    n_shingle_shards: int = 16,
+) -> DataFrame:
+    """minhash_batch_pairs against a write_minhash_index layout: results
+    identical to the two-table operator on the same corpus (tested), but
+    the corpus cost is two partition-pruned reads —
+
+      1. buckets: the batch's distinct (band, kp) cells (bounded by
+         bands x 16^key_prefix_len, collected driver-side like the ANN
+         probes' bucket lists) -> PartitionFilters on the scan;
+      2. shingles: only the shards candidate ids hash into.
+
+    A quiet batch (few novel near-dups) touches a few hundred partitions
+    of a 10^10-doc index; the corpus text is never read at all.
+    """
+    bb = _band_buckets(
+        minhash_signature(batch, id_col, text_col, n, num_hashes),
+        id_col, num_hashes, bands,
+    ).select(F.col(id_col).alias("id_new"), "band", "key",
+             F.substring("key", 1, key_prefix_len).alias("kp"))
+    # persisted (not unpersisted — the returned lazy plan reuses both; LRU
+    # evicts, matching graphrank/textstats' shared-subtree convention):
+    # bb feeds the driver-side cell list AND the candidate join; cand feeds
+    # the shard list AND the verification join.
+    bb = bb.persist()
+    id_type = batch.schema[id_col].dataType.simpleString()
+    empty_schema = f"id_new {id_type}, id_corpus {id_type}, jaccard double"
+    cells = [(r["band"], r["kp"])
+             for r in bb.select("band", "kp").distinct().collect()]
+    by_band: dict[int, list[str]] = {}
+    for band, kp in cells:
+        by_band.setdefault(band, []).append(kp)
+    cell_filter = None
+    for band, kps in sorted(by_band.items()):
+        clause = (F.col("band") == band) & F.col("kp").isin(kps)
+        cell_filter = clause if cell_filter is None else cell_filter | clause
+    if cell_filter is None:  # empty batch
+        return spark.createDataFrame([], empty_schema)
+    idx = (spark.read.parquet(f"{index_path}/buckets")
+           .filter(cell_filter)  # -> PartitionFilters
+           .select(F.col("cid").alias("id_corpus"), "band", "key"))
+    cand = (bb.join(idx, ["band", "key"])
+            .select("id_new", "id_corpus").distinct().persist())
+    shards = [r["shard"] for r in cand.select(
+        F.pmod(F.xxhash64("id_corpus"), F.lit(n_shingle_shards))
+        .alias("shard")).distinct().collect()]
+    if not shards:
+        return spark.createDataFrame([], empty_schema)
+    sh_c = (spark.read.parquet(f"{index_path}/shingles")
+            .filter(F.col("shard").isin(shards))  # -> PartitionFilters
+            .select(F.col("cid").alias("id_corpus"),
+                    F.col("sh").alias("sh_c")))
+    sh_b = batch.select(
+        F.col(id_col).alias("id_new"),
+        F.array_distinct(shingles_col(text_col, n)).alias("sh_b"),
+    )
+    common = F.size(F.array_intersect("sh_b", "sh_c"))
+    jac = common / (F.size("sh_b") + F.size("sh_c") - common)
+    return (
+        cand.join(sh_b, "id_new")
+        .join(sh_c, "id_corpus")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_corpus", "jaccard")
     )
 
 

@@ -85,6 +85,66 @@ SELECT id_a, id_b, round(jac, 6)::DOUBLE AS jaccard FROM j WHERE jac >= {thresho
 """
 
 
+def _incremental_dedup_sql(num_hashes: int = 16, bands: int = 4,
+                           threshold: float = 0.5) -> str:
+    """q72: the batch-vs-corpus MinHash probe replayed without the index —
+    corpus UNION batch (ids disjoint: corpus < 100000, batch >= 200000),
+    identical per-doc signatures/band keys, candidate join restricted to
+    (batch, corpus) pairs, exact Jaccard verification. The persisted
+    bucket/shingle-shard layout is physical only, so the oracle sees the
+    same semantics."""
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"min(substring(md5(shingle || '#{s // 4}'), {1 + 8 * (s % 4)}, 8))"
+        f" AS h{s}"
+        for s in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, md5(concat_ws('|', {cols})) AS key FROM sig".format(
+            j=j, cols=", ".join(f"h{j * rows + r}" for r in range(rows))
+        )
+        for j in range(bands)
+    )
+    union = (
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 200000, text FROM documents "
+        "WHERE doc_id % 20 = 0 "
+        "UNION ALL SELECT doc_id + 200000, text || ' qqzz qqzz2 qqzz3' "
+        "FROM documents WHERE doc_id % 20 = 1 "
+        "UNION ALL SELECT doc_id + 200000, "
+        "'novel doc ' || doc_id || ' fresh crawl content with no corpus twin' "
+        "FROM documents WHERE doc_id % 20 = 2"
+    )
+    return f"""
+WITH aug AS ({union}),
+{_SHINGLES},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_corpus
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id >= 200000 AND b.doc_id < 200000
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+ov AS (
+  SELECT c.id_new, c.id_corpus, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_new
+  JOIN sh sb ON sb.doc_id = c.id_corpus AND sb.shingle = sa.shingle
+  GROUP BY c.id_new, c.id_corpus
+),
+j AS (
+  SELECT ov.id_new, ov.id_corpus,
+         ov.n_common::DOUBLE / (na.n_sh + nb.n_sh - ov.n_common) AS jac
+  FROM ov
+  JOIN sizes na ON na.doc_id = ov.id_new
+  JOIN sizes nb ON nb.doc_id = ov.id_corpus
+)
+SELECT id_new, id_corpus, round(jac, 6)::DOUBLE AS jaccard FROM j
+WHERE jac >= {threshold}
+"""
+
+
 def _dedup_clusters_sql(num_hashes: int = 16, bands: int = 4,
                         threshold: float = 0.5) -> str:
     """Reproduces dedup.connected_components over the q14 minhash pair
@@ -1385,6 +1445,7 @@ r AS (
 SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
 """,
     "q14_minhash_lsh": _minhash_sql(16, 4, 0.5),
+    "q72_incremental_dedup": _incremental_dedup_sql(16, 4, 0.5),
     "q35_dedup_clusters": _dedup_clusters_sql(16, 4, 0.5),
     "q36_c4_line_filter": _C4_LINE_FILTER_SQL,
     "q37_stratified_split": _STRATIFIED_SPLIT_SQL,

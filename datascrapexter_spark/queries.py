@@ -1147,6 +1147,41 @@ def q71_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.oov_stats(docs, vocab)
 
 
+def q72_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl incremental dedup: a new fetch batch (exact copies,
+    near copies with an appended tail, and synthesized novel docs) deduped
+    against the FULL corpus via a persisted bucket-partitioned MinHash
+    index — the corpus text is never rescanned; the probe reads only the
+    batch's (band, key-prefix) bucket partitions and the candidates'
+    shingle shards (PartitionFilters plan-asserted in tests)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    nid = (d + 200000).alias("doc_id")
+    batch = (
+        docs.filter(d % 20 == 0).select(nid, "text")
+        .unionByName(
+            docs.filter(d % 20 == 1).select(
+                nid, F.concat("text", F.lit(" qqzz qqzz2 qqzz3")).alias("text")))
+        .unionByName(
+            docs.filter(d % 20 == 2).select(
+                nid,
+                F.concat(F.lit("novel doc "), d.cast("string"),
+                         F.lit(" fresh crawl content with no corpus twin"))
+                .alias("text")))
+    )
+    idx = tempfile.mkdtemp(prefix="dsx-mhidx-")
+    # key_prefix_len=1 at fixture scale (bands x 16 bucket partitions —
+    # 16^2 cells only pay off when partitions are file-sized, i.e. at
+    # corpus scale); pruning semantics identical, plan-asserted in tests
+    dedup.write_minhash_index(docs, idx, "doc_id", "text",
+                              num_hashes=16, bands=4, key_prefix_len=1)
+    pairs = dedup.dedup_batch_indexed(
+        spark, idx, batch, "doc_id", "text",
+        num_hashes=16, bands=4, threshold=0.5, key_prefix_len=1)
+    return pairs.select("id_new", "id_corpus",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1662,5 +1697,6 @@ QUERIES = {
     "q69_repeated_spans": q69_repeated_spans,
     "q70_lm_surprisal": q70_lm_surprisal,
     "q71_vocab_oov": q71_vocab_oov,
+    "q72_incremental_dedup": q72_incremental_dedup,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

@@ -1,0 +1,107 @@
+"""Incremental (batch-vs-corpus) MinHash dedup: the continuous-crawl path.
+
+Covers ops.dedup.minhash_batch_pairs (two-table LSH), write_minhash_index
+(bucket/shard at-rest layout), and dedup_batch_indexed (partition-pruned
+probe). The scale claim under test: the indexed probe returns results
+IDENTICAL to the two-table operator while its corpus reads carry real
+PartitionFilters — i.e. a new crawl batch dedupes against the kept corpus
+without rescanning it.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from datascrapexter_spark.ops import dedup
+
+CORPUS = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2, "one two three four five six seven eight nine ten eleven twelve"),
+    (3, "red orange yellow green blue indigo violet ultra infra deep"),
+    (4, "north south east west up down left right forward backward"),
+]
+BATCH = [
+    # exact copy of corpus doc 1 -> jaccard 1.0
+    (101, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    # near copy of corpus doc 2 (appended tail) -> 0.5 <= jaccard < 1
+    (102, "one two three four five six seven eight nine ten eleven twelve tail1 tail2"),
+    # novel -> no pair
+    (103, "completely fresh document with entirely novel shingle content here"),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def batch(spark):
+    return spark.createDataFrame(BATCH, "doc_id long, text string")
+
+
+def _rows(df):
+    return sorted((r["id_new"], r["id_corpus"], round(r["jaccard"], 6))
+                  for r in df.collect())
+
+
+def test_batch_pairs_semantics(corpus, batch):
+    got = _rows(dedup.minhash_batch_pairs(
+        corpus, batch, "doc_id", "text", n=3, num_hashes=16, bands=4,
+        threshold=0.5))
+    ids = [(a, b) for a, b, _ in got]
+    assert (101, 1) in ids          # exact copy found
+    assert (102, 2) in ids          # near copy found
+    assert all(a != 103 for a, _ in ids)  # novel doc matches nothing
+    exact = dict(((a, b), j) for a, b, j in got)
+    assert exact[(101, 1)] == 1.0
+    assert 0.5 <= exact[(102, 2)] < 1.0
+
+
+def test_indexed_probe_identical_and_pruned(spark, corpus, batch, tmp_path):
+    path = str(tmp_path / "mh_idx")
+    dedup.write_minhash_index(corpus, path, "doc_id", "text",
+                              num_hashes=16, bands=4, key_prefix_len=2,
+                              n_shingle_shards=4)
+    indexed = dedup.dedup_batch_indexed(
+        spark, path, batch, "doc_id", "text", num_hashes=16, bands=4,
+        threshold=0.5, key_prefix_len=2, n_shingle_shards=4)
+    direct = dedup.minhash_batch_pairs(
+        corpus, batch, "doc_id", "text", num_hashes=16, bands=4,
+        threshold=0.5)
+    assert _rows(indexed) == _rows(direct)
+
+    # both corpus-side scans are partition-pruned: the buckets read
+    # filters on (band, kp), the shingles read on shard
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    filters = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    nonempty = [f for f in filters if f.strip()]
+    assert any("band" in f and "kp" in f for f in nonempty), plan
+    assert any("shard" in f for f in nonempty), plan
+
+
+def test_indexed_probe_empty_batch(spark, corpus, tmp_path):
+    path = str(tmp_path / "mh_idx_empty")
+    dedup.write_minhash_index(corpus, path, "doc_id", "text",
+                              num_hashes=16, bands=4)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = dedup.dedup_batch_indexed(spark, path, empty, "doc_id", "text")
+    assert out.columns == ["id_new", "id_corpus", "jaccard"]
+    assert out.count() == 0
+
+
+def test_indexed_probe_all_novel(spark, corpus, tmp_path):
+    """A batch whose band keys miss every corpus bucket: the candidate set
+    is empty and the shingle table is never joined."""
+    path = str(tmp_path / "mh_idx_novel")
+    dedup.write_minhash_index(corpus, path, "doc_id", "text",
+                              num_hashes=16, bands=4)
+    novel = spark.createDataFrame(
+        [(900, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm")],
+        "doc_id long, text string")
+    out = dedup.dedup_batch_indexed(spark, path, novel, "doc_id", "text")
+    assert out.count() == 0
+    assert out.columns == ["id_new", "id_corpus", "jaccard"]
