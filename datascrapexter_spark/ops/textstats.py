@@ -532,3 +532,74 @@ def oov_stats(docs: DataFrame, vocab: DataFrame,
                     F.coalesce("n_oov", F.lit(0)).cast("long")
                     .alias("n_oov"),
                     F.coalesce(ppm, F.lit(0)).alias("oov_ppm")))
+
+
+def domain_quality_rollup(docs: DataFrame, domain_col: str = "source",
+                          id_col: str = "doc_id", text_col: str = "text",
+                          *, low_quality_ppm: int = 500_000,
+                          min_docs: int = 5,
+                          max_low_frac_ppm: int = 250_000,
+                          max_dup_frac_ppm: int = 250_000) -> DataFrame:
+    """Per-domain quality aggregation + blocklist decision (the
+    RefinedWeb/C4 domain-level filter: drop whole sites whose pages are
+    mostly junk or mirrors, instead of re-judging every page).
+
+    One groupBy(domain) over pure-codegen per-doc features:
+
+      n_docs                pages observed
+      mean_quality_ppm      floor-mean of quality_score (ppm, integer)
+      low_quality_frac_ppm  pages with quality < low_quality_ppm
+      dup_frac_ppm          1 - distinct(fingerprint)/n_docs — the
+                            within-domain exact-mirror rate
+      mean_tokens           floor-mean whitespace tokens
+      blocked               n_docs >= min_docs AND (low-quality or
+                            mirror fraction over threshold)
+
+    All outputs integer/boolean (ppm floor arithmetic — the repo's
+    exact-compare convention), so an independent SQL engine reproduces
+    them bit-for-bit. Scale: the only exchange is the domain-keyed agg
+    with map-side partials; countDistinct(fingerprint) expands to the
+    standard two-phase distinct agg on (domain, fingerprint) — still
+    keyed, no row explosion beyond the corpus itself. The blocklist
+    this emits is broadcast-sized (domains, not pages) and gates a
+    crawl or corpus with a broadcast anti-join
+    (`apply_domain_blocklist`).
+    """
+    qc = quality_columns(text_col)
+    per_doc = docs.select(
+        F.col(domain_col).alias("host"),
+        F.round(qc["quality_score"] * 1_000_000).cast("long").alias("q_ppm"),
+        qc["n_tokens"].alias("n_toks"),
+        fingerprint_col(text_col).alias("fp"),
+    )
+    agg = per_doc.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("q_ppm").alias("_sq"),
+        F.sum(F.when(F.col("q_ppm") < low_quality_ppm, 1).otherwise(0))
+        .alias("_n_low"),
+        F.countDistinct("fp").alias("_n_fp"),
+        F.sum("n_toks").alias("_st"),
+    )
+    low_frac = F.expr("(1000000 * _n_low) div n_docs")
+    dup_frac = F.expr("(1000000 * (n_docs - _n_fp)) div n_docs")
+    return agg.select(
+        "host",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.expr("_sq div n_docs").cast("long").alias("mean_quality_ppm"),
+        low_frac.cast("long").alias("low_quality_frac_ppm"),
+        dup_frac.cast("long").alias("dup_frac_ppm"),
+        F.expr("_st div n_docs").cast("long").alias("mean_tokens"),
+        (
+            (F.col("n_docs") >= min_docs)
+            & ((low_frac > max_low_frac_ppm) | (dup_frac > max_dup_frac_ppm))
+        ).alias("blocked"),
+    )
+
+
+def apply_domain_blocklist(docs: DataFrame, rollup: DataFrame,
+                           domain_col: str = "source") -> DataFrame:
+    """Drop every page of a blocked domain: broadcast anti-join on the
+    domain key (the blocklist is domains-sized, never pages-sized)."""
+    blocked = rollup.filter(F.col("blocked")).select(
+        F.col("host").alias(domain_col))
+    return docs.join(F.broadcast(blocked), domain_col, "left_anti")

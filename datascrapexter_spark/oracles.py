@@ -895,6 +895,63 @@ FROM sc
 """
 
 
+def _domain_quality_sql(low_quality_ppm: int = 500_000, min_docs: int = 5,
+                        max_low_frac_ppm: int = 250_000,
+                        max_dup_frac_ppm: int = 250_000) -> str:
+    """q73: per-domain rollup of the q19 quality-score / fingerprint
+    expressions over the degraded corpus, integer-ppm floor arithmetic,
+    same blocklist predicate."""
+    return f"""
+WITH m AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 20 < 8 AND doc_id % 3 = 0 THEN 'x y'
+              WHEN doc_id % 20 >= 16 AND doc_id % 5 IN (1, 2)
+                THEN 'duplicate content page boilerplate mirror copy'
+              ELSE text END AS text
+  FROM documents
+),
+f AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '[ \t\n\r]+')) AS n_toks,
+         length(regexp_replace(text, '[ \t\n\r]', '', 'g'))::DOUBLE
+           / greatest(len(regexp_split_to_array(trim(text), '[ \t\n\r]+')), 1)
+           AS mean_tok,
+         length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS alpha,
+         length(text) AS n_chars,
+         substr(md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))), 1, 16) AS fp
+  FROM m
+),
+q AS (
+  SELECT source, n_toks, fp,
+         round(round(
+           (CASE WHEN n_chars >= 20 AND n_chars <= 100000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0 THEN 0.3 ELSE 0.0 END)
+           + least(alpha, 1.0) * 0.3, 6) * 1000000)::BIGINT AS q_ppm
+  FROM f
+),
+a AS (
+  SELECT source AS host,
+         count(*)::BIGINT AS n_docs,
+         sum(q_ppm)::BIGINT AS sq,
+         sum(CASE WHEN q_ppm < {low_quality_ppm} THEN 1 ELSE 0 END)::BIGINT AS n_low,
+         count(DISTINCT fp)::BIGINT AS n_fp,
+         sum(n_toks)::BIGINT AS st
+  FROM q GROUP BY source
+)
+SELECT host, n_docs,
+       (sq // n_docs)::BIGINT AS mean_quality_ppm,
+       ((1000000 * n_low) // n_docs)::BIGINT AS low_quality_frac_ppm,
+       ((1000000 * (n_docs - n_fp)) // n_docs)::BIGINT AS dup_frac_ppm,
+       (st // n_docs)::BIGINT AS mean_tokens,
+       (n_docs >= {min_docs}
+        AND ((1000000 * n_low) // n_docs > {max_low_frac_ppm}
+             OR (1000000 * (n_docs - n_fp)) // n_docs > {max_dup_frac_ppm}))
+         AS blocked
+FROM a
+"""
+
+
 def _pagerank_sql(iters: int = 5, out_deg: int = 4) -> str:
     """CTE replay of ops.graphrank.pagerank_micro: same md5-derived edges,
     same integer recurrence (BIGINT micro-units, ``//`` floor division) —
@@ -1446,6 +1503,7 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
 """,
     "q14_minhash_lsh": _minhash_sql(16, 4, 0.5),
     "q72_incremental_dedup": _incremental_dedup_sql(16, 4, 0.5),
+    "q73_domain_quality": _domain_quality_sql(),
     "q35_dedup_clusters": _dedup_clusters_sql(16, 4, 0.5),
     "q36_c4_line_filter": _C4_LINE_FILTER_SQL,
     "q37_stratified_split": _STRATIFIED_SPLIT_SQL,

@@ -1182,6 +1182,23 @@ def q72_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round("jaccard", 6).alias("jaccard"))
 
 
+def q73_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality rollup + blocklist decision over a corpus
+    where src0-src7 carry ~1/3 degraded pages (low-quality gate) and
+    src16-src19 carry ~40% identical mirror pages (dup gate): one
+    domain-keyed agg, integer-ppm outputs, broadcast-sized blocklist."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = F.col("doc_id")
+    mod = docs.withColumn(
+        "text",
+        F.when((d % 20 < 8) & (d % 3 == 0), F.lit("x y"))
+        .when((d % 20 >= 16) & ((d % 5 == 1) | (d % 5 == 2)),
+              F.lit("duplicate content page boilerplate mirror copy"))
+        .otherwise(F.col("text")),
+    )
+    return textstats.domain_quality_rollup(mod, "source")
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1698,5 +1715,6 @@ QUERIES = {
     "q70_lm_surprisal": q70_lm_surprisal,
     "q71_vocab_oov": q71_vocab_oov,
     "q72_incremental_dedup": q72_incremental_dedup,
+    "q73_domain_quality": q73_domain_quality,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

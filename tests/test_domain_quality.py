@@ -1,0 +1,73 @@
+"""Domain-level quality rollup + blocklist (textstats.domain_quality_rollup,
+apply_domain_blocklist): the RefinedWeb-style whole-site filter."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datascrapexter_spark.ops import textstats
+
+GOOD = ("the quick brown fox jumps over the lazy dog while the sun "
+        "settles slowly behind the quiet hills of the old town")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    # clean.example: 6 distinct good docs -> not blocked
+    for i in range(6):
+        rows.append((i, "clean.example", GOOD + f" variant {i}"))
+    # junk.example: 6 docs, 3 degraded ("x y" -> quality 0.3) -> low gate
+    for i in range(6):
+        rows.append((10 + i, "junk.example", "x y" if i % 2 == 0 else GOOD + f" v{i}"))
+    # mirror.example: 6 docs, 4 identical -> dup gate
+    for i in range(6):
+        rows.append((20 + i, "mirror.example",
+                     GOOD if i < 4 else GOOD + f" tail {i}"))
+    # tiny.example: 2 junk docs but below min_docs -> never blocked
+    rows.append((30, "tiny.example", "x y"))
+    rows.append((31, "tiny.example", "x y"))
+    return rows
+
+
+def _rollup(spark, corpus):
+    df = spark.createDataFrame(corpus, "doc_id long, source string, text string")
+    out = textstats.domain_quality_rollup(
+        df, "source", min_docs=5,
+        max_low_frac_ppm=250_000, max_dup_frac_ppm=250_000)
+    return {r["host"]: r.asDict() for r in out.collect()}
+
+
+def test_blocklist_decisions(spark, corpus):
+    by = _rollup(spark, corpus)
+    assert not by["clean.example"]["blocked"]
+    assert by["junk.example"]["blocked"]          # 3/6 low quality
+    assert by["mirror.example"]["blocked"]        # 3/6 duplicate pages
+    assert not by["tiny.example"]["blocked"]      # below min_docs
+
+
+def test_ppm_arithmetic_exact(spark, corpus):
+    by = _rollup(spark, corpus)
+    j = by["junk.example"]
+    assert j["n_docs"] == 6
+    assert j["low_quality_frac_ppm"] == 500_000   # 3/6 exactly
+    m = by["mirror.example"]
+    # 6 docs, 3 distinct fingerprints -> dup_frac = 3/6
+    assert m["dup_frac_ppm"] == 500_000
+    c = by["clean.example"]
+    assert c["low_quality_frac_ppm"] == 0 and c["dup_frac_ppm"] == 0
+    # "variant {i}" digits shave alpha_ratio slightly below 1.0
+    assert 990_000 < c["mean_quality_ppm"] <= 1_000_000
+
+
+def test_apply_blocklist_broadcast_anti(spark, corpus):
+    df = spark.createDataFrame(corpus, "doc_id long, source string, text string")
+    rollup = textstats.domain_quality_rollup(
+        df, "source", min_docs=5,
+        max_low_frac_ppm=250_000, max_dup_frac_ppm=250_000)
+    kept = textstats.apply_domain_blocklist(df, rollup, "source")
+    hosts = {r["source"] for r in kept.select("source").distinct().collect()}
+    assert hosts == {"clean.example", "tiny.example"}
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
