@@ -380,6 +380,7 @@ def write_minhash_index(
     key_prefix_len: int = 2,
     n_shingle_shards: int = 16,
     max_shingle_doc_freq: int | None = None,
+    mode: str = "overwrite",
 ) -> None:
     """Persist the corpus's dedup identity in a probe-prunable at-rest
     layout, so each new crawl batch dedupes against 100 TB of kept docs
@@ -412,7 +413,7 @@ def write_minhash_index(
     # n_tasks x n_cells small files (and at corpus scale the shuffle is
     # the keyed exchange the layout needs anyway)
     (bk.repartition("band", "kp")
-     .write.mode("overwrite").partitionBy("band", "kp")
+     .write.mode(mode).partitionBy("band", "kp")
      .parquet(f"{path}/buckets"))
     sh = corpus.select(
         F.col(id_col).alias("cid"),
@@ -420,7 +421,7 @@ def write_minhash_index(
         F.pmod(F.xxhash64(id_col), F.lit(n_shingle_shards)).alias("shard"),
     )
     (sh.repartition("shard")
-     .write.mode("overwrite").partitionBy("shard")
+     .write.mode(mode).partitionBy("shard")
      .parquet(f"{path}/shingles"))
 
 

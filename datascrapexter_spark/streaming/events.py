@@ -191,3 +191,83 @@ def streaming_dedup(stream: DataFrame, content_cols: list[str],
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(["_digest"])
             .drop("_digest"))
+
+
+def neardup_ingest_stream(stream: DataFrame, index_path: str,
+                          out_path: str, checkpoint_dir: str,
+                          id_col: str = "doc_id",
+                          text_col: str = "text", *,
+                          n: int = 3, num_hashes: int = 16,
+                          bands: int = 4, threshold: float = 0.5,
+                          key_prefix_len: int = 2,
+                          n_shingle_shards: int = 16,
+                          available_now: bool = True):
+    """The continuous-crawl dedup loop as Structured Streaming: every
+    micro-batch of fetched docs is (1) near-dup-probed against the
+    persisted MinHash index (ops.dedup.dedup_batch_indexed — reads only
+    the batch's bucket partitions, never the corpus), (2) thinned of
+    within-batch near-dups (min-id wins, deterministic inside a batch),
+    (3) its novel docs appended to `out_path` AND their dedup identity
+    appended to the index's own partitions — so the next micro-batch
+    probes against everything kept so far. Index maintenance is
+    partition-local appends; no global rewrite ever happens on the hot
+    path (periodic compaction owns file counts, same discipline as the
+    frontier store).
+
+    Determinism caveat (same contract as streaming_dedup): WHICH copy of
+    a near-dup pair survives depends on micro-batch boundaries — earlier
+    batch wins, min-id wins within a batch. The global reproducible pass
+    stays with the batch operators over the compacted corpus.
+    foreachBatch side effects are at-least-once under retries; `out_path`
+    consumers should exact-dedup on id (cheap) if the job is restarted
+    mid-batch.
+    """
+    from ..ops import dedup as _dedup
+
+    def _index_exists(spark) -> bool:
+        # explicit FS check (works on HDFS/S3A/local) — NEVER inferred
+        # from a probe failure: a transient probe error must not flip
+        # the index write to overwrite and clobber accumulated state
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/buckets")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        if batch_df.limit(1).count() == 0:
+            return
+        first_batch = not _index_exists(spark)
+        if first_batch:
+            fresh = batch_df
+        else:
+            pairs = _dedup.dedup_batch_indexed(
+                spark, index_path, batch_df, id_col, text_col,
+                n=n, num_hashes=num_hashes, bands=bands,
+                threshold=threshold, key_prefix_len=key_prefix_len,
+                n_shingle_shards=n_shingle_shards)
+            dup_ids = pairs.select(
+                F.col("id_new").alias(id_col)).distinct()
+            fresh = batch_df.join(dup_ids, id_col, "left_anti")
+        # within-batch near-dups: min-id wins (pairs come back id_a<id_b,
+        # so the id_b side loses)
+        intra = _dedup.minhash_lsh_pairs(
+            fresh, id_col, text_col, n=n, num_hashes=num_hashes,
+            bands=bands, threshold=threshold)
+        losers = intra.select(F.col("id_b").alias(id_col)).distinct()
+        novel = fresh.join(losers, id_col, "left_anti").persist()
+        novel.write.mode("append").parquet(out_path)
+        _dedup.write_minhash_index(
+            novel.select(id_col, text_col), index_path, id_col, text_col,
+            n=n, num_hashes=num_hashes, bands=bands,
+            key_prefix_len=key_prefix_len,
+            n_shingle_shards=n_shingle_shards,
+            mode="overwrite" if first_batch else "append")
+
+    writer = (stream.writeStream
+              .foreachBatch(_process)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -105,3 +105,50 @@ def test_indexed_probe_all_novel(spark, corpus, tmp_path):
     out = dedup.dedup_batch_indexed(spark, path, novel, "doc_id", "text")
     assert out.count() == 0
     assert out.columns == ["id_new", "id_corpus", "jaccard"]
+
+
+def test_neardup_ingest_stream_two_batches(spark, tmp_path):
+    """Continuous ingest: micro-batch 1 seeds the index; micro-batch 2's
+    dup-of-batch-1 and dup-of-itself are dropped, novels kept, and the
+    index grows so batch 3 would see batch 2's docs too."""
+    from datascrapexter_spark.streaming.events import neardup_ingest_stream
+    import pyspark.sql.types as T
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    idx = str(tmp_path / "idx")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(str(land))
+        stream = (spark.readStream.schema(schema).parquet(str(land)))
+        q = neardup_ingest_stream(
+            stream, idx, out, ckpt, "doc_id", "text",
+            num_hashes=16, bands=4, threshold=0.5,
+            key_prefix_len=1, n_shingle_shards=4)
+        q.awaitTermination(120)
+
+    b1 = [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+          (2, "one two three four five six seven eight nine ten eleven")]
+    run_batch(b1)
+    kept1 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept1 == [1, 2]
+
+    b2 = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup of 1
+        (11, "red orange yellow green blue indigo violet ultra infra"),    # novel
+        (12, "red orange yellow green blue indigo violet ultra infra"),    # dup of 11 (same batch, min-id wins)
+    ]
+    run_batch(b2)
+    kept2 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept2 == [1, 2, 11]
+
+    # the index grew: a third batch duplicating doc 11 is also dropped
+    b3 = [(20, "red orange yellow green blue indigo violet ultra infra")]
+    run_batch(b3)
+    kept3 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept3 == [1, 2, 11]
