@@ -194,6 +194,12 @@ class CrawlConfig:
     trap_threshold: int = 40
     trap_max_depth: int = 12
     trap_max_params: int = 8
+    # registered-domain blocklist (e.g. textstats.domain_quality_rollup's
+    # blocked hosts, or any curated list): discovered out-links on these
+    # domains die before hashing/dedup, so a junk/mirror site costs zero
+    # url_seen probes and no frontier rows. Off by default; seeds are NOT
+    # gated (an explicit seed is an operator decision).
+    blocked_domains: tuple[str, ...] | None = None
 
 
 class CrawlEngine:
@@ -622,6 +628,14 @@ class CrawlEngine:
             hosts_df = self.spark.createDataFrame(
                 [(h,) for h in sorted(self.allowed_hosts)], "host string")
             candidates = candidates.join(F.broadcast(hosts_df), "host", "semi")
+        if cfg.blocked_domains:
+            # domains-sized list -> broadcast anti-join on the registered
+            # domain already computed by the fused canonicalize crossing
+            bl = self.spark.createDataFrame(
+                [(d,) for d in sorted(set(cfg.blocked_domains))],
+                "cand_domain string")
+            candidates = candidates.join(
+                F.broadcast(bl), "cand_domain", "left_anti")
         if cfg.trap_filter:
             # one codegen Filter over the canonical URL — traps die before
             # hashing/dedup, so they never cost a url_seen probe or row

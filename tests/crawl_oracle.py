@@ -212,6 +212,9 @@ class CrawlSimulator:
             host = extract_domain(canon)
             if self.allowed_hosts is not None and host not in self.allowed_hosts:
                 continue
+            if cfg.blocked_domains and \
+                    registered_domain(host) in set(cfg.blocked_domains):
+                continue
             if cfg.trap_filter:
                 from datascrapexter_spark.frontier.traps import trap_score_py
 

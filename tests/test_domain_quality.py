@@ -71,3 +71,41 @@ def test_apply_blocklist_broadcast_anti(spark, corpus):
     assert hosts == {"clean.example", "tiny.example"}
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_crawl_blocklist_gate_sim_parity(spark, tmp_path):
+    """blocked_domains: out-links to a blocked registered domain never
+    enter the frontier or seen set; crawl order bit-exact vs the oracle
+    simulator. Seeds are NOT gated."""
+    from tests.crawl_oracle import CrawlSimulator
+    from tests.test_crawl_engine import make_cfg, run_spark_crawl, spark_log
+
+    # distinct REGISTERED domains (the gate keys on eTLD+1:
+    # registered_domain("junk.ex.com") would collapse to "ex.com")
+    good, bad = "good-site.com", "junk-site.com"
+    home = (f'<html><body><a href="https://{good}/a">a</a>'
+            f'<a href="https://{bad}/spam">spam</a></body></html>')
+    rows = [
+        (f"https://{good}/", None, home.encode(), "", "en"),
+        (f"https://{good}/a", None, b"<html><h1>a</h1></html>", "", "en"),
+        (f"https://{bad}/spam", None, b"<html><h1>s</h1></html>", "", "en"),
+    ]
+    seeds = [(f"https://{good}/", 5)]
+    web = (rows, seeds, {})
+    cfg = make_cfg(blocked_domains=("junk-site.com",), max_rounds=4,
+                   restrict_to_seed_hosts=False)
+    engine, _ = run_spark_crawl(spark, tmp_path, web, cfg)
+    sim = CrawlSimulator.from_raw(web[0], web[2], cfg)
+    sim.run(web[1])
+    assert spark_log(engine) == sim.sorted_log()
+    scheduled = {row[3] for row in spark_log(engine)}
+    assert f"https://{good}/a" in scheduled
+    assert not any(bad in u for u in scheduled)
+
+    # gate off: the junk link IS crawled
+    cfg_off = make_cfg(max_rounds=4, restrict_to_seed_hosts=False)
+    engine2, _ = run_spark_crawl(spark, tmp_path / "off", web, cfg_off)
+    sim2 = CrawlSimulator.from_raw(web[0], web[2], cfg_off)
+    sim2.run(web[1])
+    assert spark_log(engine2) == sim2.sorted_log()
+    assert any(bad in u for u in {row[3] for row in spark_log(engine2)})
