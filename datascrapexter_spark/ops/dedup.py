@@ -449,6 +449,11 @@ def dedup_batch_indexed(
 
     A quiet batch (few novel near-dups) touches a few hundred partitions
     of a 10^10-doc index; the corpus text is never read at all.
+
+    An index carrying at-least-once duplicate identity rows (a replayed
+    append that compact_minhash_index has not yet healed) emits the same
+    pair once per copy — the probe does not pay a corpus-side distinct
+    for the clean-index common case; run compaction between drains.
     """
     bb = _band_buckets(
         minhash_signature(batch, id_col, text_col, n, num_hashes),
@@ -500,6 +505,45 @@ def dedup_batch_indexed(
         .filter(F.col("jaccard") >= threshold)
         .select("id_new", "id_corpus", "jaccard")
     )
+
+
+def compact_minhash_index(spark, path: str) -> None:
+    """Periodic maintenance for a write_minhash_index layout: rewrite each
+    table to one file per partition cell and drop duplicate identity rows.
+
+    The append path (dedup_batch_indexed consumers, neardup_ingest_stream)
+    accumulates one small file per micro-batch per touched cell, and its
+    at-least-once contract can re-append the same doc after a mid-batch
+    restart. Compaction fixes both: dedup on the logical identity
+    (buckets: (cid, band, key); shingles: cid — every copy carries the
+    identical array by construction), repartition on the partition keys so
+    each cell lands in ONE file, then an FS-level swap (write aside →
+    rename). Not safe concurrently with probes — run it between drains,
+    exactly like the frontier store's compaction discipline.
+    """
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+
+    def _swap(table: str, part_cols: list[str], dedup_cols: list[str]) -> None:
+        cur = f"{path}/{table}"
+        tmp = f"{path}/{table}.compact"
+        old = f"{path}/{table}.old"
+        df = spark.read.parquet(cur).dropDuplicates(dedup_cols)
+        (df.repartition(*part_cols)
+         .write.mode("overwrite").partitionBy(*part_cols).parquet(tmp))
+        fs = HPath(cur).getFileSystem(hconf)
+        fs.delete(HPath(old), True)
+        if not fs.rename(HPath(cur), HPath(old)):
+            raise IOError(f"compact: cannot move {cur} aside")
+        if not fs.rename(HPath(tmp), HPath(cur)):
+            # roll back so the index stays readable
+            fs.rename(HPath(old), HPath(cur))
+            raise IOError(f"compact: cannot swap {tmp} into {cur}")
+        fs.delete(HPath(old), True)
+
+    _swap("buckets", ["band", "kp"], ["cid", "band", "key"])
+    _swap("shingles", ["shard"], ["cid"])
 
 
 # ---------------------------------------------------------------------------

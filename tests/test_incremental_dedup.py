@@ -152,3 +152,47 @@ def test_neardup_ingest_stream_two_batches(spark, tmp_path):
     run_batch(b3)
     kept3 = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept3 == [1, 2, 11]
+
+
+def test_compact_minhash_index(spark, corpus, batch, tmp_path):
+    """Append growth + at-least-once double-append healed: after compact,
+    each partition cell holds ONE file, duplicate identity rows are gone,
+    and probe results are unchanged."""
+    import glob
+
+    path = str(tmp_path / "mh_idx_compact")
+    dedup.write_minhash_index(corpus, path, "doc_id", "text",
+                              num_hashes=16, bands=4, key_prefix_len=1,
+                              n_shingle_shards=4)
+    # simulate an at-least-once replay: append the SAME corpus again
+    dedup.write_minhash_index(corpus, path, "doc_id", "text",
+                              num_hashes=16, bands=4, key_prefix_len=1,
+                              n_shingle_shards=4, mode="append")
+    before = _rows(dedup.dedup_batch_indexed(
+        spark, path, batch, "doc_id", "text", num_hashes=16, bands=4,
+        threshold=0.5, key_prefix_len=1, n_shingle_shards=4))
+
+    def files_per_cell(table):
+        cells = {}
+        for f in glob.glob(f"{path}/{table}/**/*.parquet", recursive=True):
+            cell = f[len(path) + len(table) + 2:].rsplit("/", 1)[0]
+            cells[cell] = cells.get(cell, 0) + 1
+        return cells
+
+    assert any(v > 1 for v in files_per_cell("buckets").values())
+    dedup.compact_minhash_index(spark, path)
+    assert all(v == 1 for v in files_per_cell("buckets").values())
+    assert all(v == 1 for v in files_per_cell("shingles").values())
+    # duplicate identity rows healed
+    n_bucket_rows = spark.read.parquet(f"{path}/buckets").count()
+    n_distinct = (spark.read.parquet(f"{path}/buckets")
+                  .select("cid", "band", "key").distinct().count())
+    assert n_bucket_rows == n_distinct
+    after = _rows(dedup.dedup_batch_indexed(
+        spark, path, batch, "doc_id", "text", num_hashes=16, bands=4,
+        threshold=0.5, key_prefix_len=1, n_shingle_shards=4))
+    # dirty index emits one pair per duplicate identity row (documented
+    # probe contract); compaction heals the duplication, same pair SET
+    assert len(before) > len(set(before))
+    assert after == sorted(set(before))
+    assert len(after) == len(set(after))
