@@ -603,3 +603,52 @@ def apply_domain_blocklist(docs: DataFrame, rollup: DataFrame,
     blocked = rollup.filter(F.col("blocked")).select(
         F.col("host").alias(domain_col))
     return docs.join(F.broadcast(blocked), domain_col, "left_anti")
+
+
+# common double-encoded-UTF8 artifacts (a Latin-1/cp1252 re-read of UTF-8
+# bytes): the accented-letter family ("Ã©" is the mojibake of "é"),
+# curly quotes/dashes ("â€™" is a right single quote), NBSP/degree
+# leftovers. The 0x9D-family sequences (closing curly double quote) are
+# deliberately absent: their middle byte is an unassigned cp1252 control.
+MOJIBAKE_SEQS = (
+    "Ã©", "Ã¨", "Ã¤",
+    "Ã¶", "Ã¼", "Ã±",
+    "â€™", "â€œ",
+    "â€“", "â€”",
+    "Â·", "Â°",
+)
+
+
+def encoding_noise_cols(text: Column | str) -> dict[str, Column]:
+    """Encoding-noise signals (the ftfy-style cleanup gate every web
+    corpus needs): replacement characters (U+FFFD — a decoder already
+    gave up), stray C0 control bytes, and classic double-encoded-UTF8
+    mojibake sequences. Occurrence counts come from length-delta over
+    literal replace(), not regex, so any SQL engine reproduces them
+    bit-for-bit; noise_ppm uses the repo's floor-div ppm convention
+    (exact integers end to end).
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+
+    def occurrences(seq: str) -> Column:
+        return ((n_chars - F.length(F.replace(c, F.lit(seq), F.lit(""))))
+                / F.lit(len(seq))).cast("long")
+
+    n_repl = occurrences("�")
+    # C0 controls except \t \n \r: one regexp_replace (simple byte-range
+    # class — identical semantics in Java regex and RE2)
+    n_ctrl = (n_chars - F.length(F.regexp_replace(
+        c, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long")
+    n_moji = sum((occurrences(s) for s in MOJIBAKE_SEQS),
+                 F.lit(0).cast("long"))
+    total = (n_repl + n_ctrl + n_moji).cast("long")
+    safe = F.greatest(n_chars, F.lit(1))
+    ppm = ((F.lit(1_000_000) * total
+            - (F.lit(1_000_000) * total) % safe) / safe).cast("long")
+    return {
+        "n_replacement": n_repl,
+        "n_control": n_ctrl,
+        "n_mojibake": n_moji,
+        "noise_ppm": ppm,
+    }

@@ -13,7 +13,7 @@ programmatically so the constants provably match the Spark operators.
 from __future__ import annotations
 
 from .ops.similarity import srp_plane
-from .ops.textstats import STOPWORDS
+from .ops.textstats import MOJIBAKE_SEQS, STOPWORDS
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments
@@ -895,6 +895,48 @@ FROM sc
 """
 
 
+def _encoding_noise_sql(clean_max_ppm: int = 1000) -> str:
+    """q74: the same literal replace()-delta counting, generated from
+    MOJIBAKE_SEQS so the sequence set provably matches the Spark op."""
+    moji = " + ".join(
+        f"(length(text) - length(replace(text, '{s}', ''))) // {len(s)}"
+        for s in MOJIBAKE_SEQS
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' cafÃ© said â€™helloâ€™'
+              ELSE text END AS text
+  FROM documents
+), m2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN text || ' bad�decode�' ELSE text END AS text
+  FROM m
+), m3 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 13 = 0
+              THEN text || ' ctl' || chr(7) || 'byte' ELSE text END AS text
+  FROM m2
+), f AS (
+  SELECT doc_id,
+         (length(text) - length(replace(text, '�', '')))::BIGINT AS n_replacement,
+         (length(text) - length(regexp_replace(text,
+            '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')))::BIGINT AS n_control,
+         ({moji})::BIGINT AS n_mojibake,
+         greatest(length(text), 1) AS n_chars
+  FROM m3
+)
+SELECT doc_id, n_replacement, n_control, n_mojibake,
+       ((1000000 * (n_replacement + n_control + n_mojibake)) // n_chars)::BIGINT
+         AS noise_ppm,
+       ((1000000 * (n_replacement + n_control + n_mojibake)) // n_chars
+        <= {clean_max_ppm}) AS is_clean
+FROM f
+"""
+
+
 def _domain_quality_sql(low_quality_ppm: int = 500_000, min_docs: int = 5,
                         max_low_frac_ppm: int = 250_000,
                         max_dup_frac_ppm: int = 250_000) -> str:
@@ -1504,6 +1546,7 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q14_minhash_lsh": _minhash_sql(16, 4, 0.5),
     "q72_incremental_dedup": _incremental_dedup_sql(16, 4, 0.5),
     "q73_domain_quality": _domain_quality_sql(),
+    "q74_encoding_noise": _encoding_noise_sql(),
     "q35_dedup_clusters": _dedup_clusters_sql(16, 4, 0.5),
     "q36_c4_line_filter": _C4_LINE_FILTER_SQL,
     "q37_stratified_split": _STRATIFIED_SPLIT_SQL,

@@ -1199,6 +1199,28 @@ def q73_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.domain_quality_rollup(mod, "source")
 
 
+def q74_encoding_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-noise gate over a corpus with deterministically injected
+    mojibake (doc_id%7), U+FFFD replacement chars (doc_id%11) and a C0
+    control byte (doc_id%13): per-doc exact-integer noise counts + ppm +
+    keep decision. Pure codegen — replace()-delta counting, no Python."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    t = F.col("text")
+    t = F.when(d % 7 == 0, F.concat(t, F.lit(" cafÃ© said â€™helloâ€™"))).otherwise(t)
+    t = F.when(d % 11 == 0, F.concat(t, F.lit(" bad�decode�"))).otherwise(t)
+    t = F.when(d % 13 == 0, F.concat(t, F.lit(" ctl\x07byte"))).otherwise(t)
+    nz = textstats.encoding_noise_cols(t)
+    return docs.select(
+        "doc_id",
+        nz["n_replacement"].alias("n_replacement"),
+        nz["n_control"].alias("n_control"),
+        nz["n_mojibake"].alias("n_mojibake"),
+        nz["noise_ppm"].alias("noise_ppm"),
+        (nz["noise_ppm"] <= 1000).alias("is_clean"),
+    )
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1716,5 +1738,6 @@ QUERIES = {
     "q71_vocab_oov": q71_vocab_oov,
     "q72_incremental_dedup": q72_incremental_dedup,
     "q73_domain_quality": q73_domain_quality,
+    "q74_encoding_noise": q74_encoding_noise,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

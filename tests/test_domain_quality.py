@@ -109,3 +109,28 @@ def test_crawl_blocklist_gate_sim_parity(spark, tmp_path):
     sim2.run(web[1])
     assert spark_log(engine2) == sim2.sorted_log()
     assert any(bad in u for u in {row[3] for row in spark_log(engine2)})
+
+
+def test_encoding_noise_hand_computed(spark):
+    """encoding_noise_cols: exact counts on hand-built strings."""
+    from datascrapexter_spark.ops.textstats import encoding_noise_cols
+
+    rows = [
+        (1, "clean plain ascii text"),
+        (2, "caf\u00c3\u00a9 twice caf\u00c3\u00a9"),            # 2 mojibake seqs
+        (3, "bad \ufffd and \ufffd and \ufffd"),                  # 3 replacement chars
+        (4, "ctl\x07and\x1fbytes"),                                # 2 C0 controls
+        (5, ""),                                                     # empty -> all zeros
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nz = encoding_noise_cols("text")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[c.alias(k) for k, c in nz.items()]).collect()}
+    assert out[1]["noise_ppm"] == 0
+    assert out[2]["n_mojibake"] == 2 and out[2]["n_replacement"] == 0
+    assert out[3]["n_replacement"] == 3
+    assert out[4]["n_control"] == 2
+    assert out[5]["noise_ppm"] == 0
+    # ppm floor arithmetic: 3 noise chars / len chars
+    n = len(rows[2][1])
+    assert out[3]["noise_ppm"] == (1_000_000 * 3) // len("bad \ufffd and \ufffd and \ufffd")
