@@ -845,6 +845,57 @@ def dedup_representatives(docs: DataFrame, pairs: DataFrame,
     return docs.join(losers, id_col, "left_anti")
 
 
+def best_representative_decisions(docs: DataFrame, pairs: DataFrame,
+                                  score_col: str,
+                                  id_col: str = "doc_id",
+                                  a_col: str = "id_a",
+                                  b_col: str = "id_b") -> DataFrame:
+    """Quality-weighted cluster resolution: per near-dup cluster keep the
+    HIGHEST-scoring copy (tie-break: smallest id) instead of blindly the
+    smallest id — the training-pipeline refinement where near-dup groups
+    mix a clean original with truncated/boilerplated mirrors and you want
+    the clean one to survive.
+
+    Returns (id, cluster_id, score, kept) for EVERY doc. Scale: the
+    row_number window runs only over pair-graph nodes (the pair-bounded
+    minority), partitioned by cluster_id — isolated docs (the vast
+    majority) are kept by construction and never enter the window
+    exchange, the same asymmetry connected_components exploits.
+    """
+    comp = connected_components(docs.select(id_col), pairs, id_col,
+                                a_col, b_col)
+    pair_nodes = (pairs.select(F.col(a_col).alias(id_col))
+                  .unionByName(pairs.select(F.col(b_col).alias(id_col)))
+                  .distinct())
+    scored = (docs.select(id_col, F.col(score_col).alias("_score"))
+              .join(pair_nodes, id_col, "semi")
+              .join(comp, id_col))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_score").desc(), F.col(id_col).asc())
+    clustered = scored.withColumn(
+        "kept", F.row_number().over(w) == 1).select(id_col, "kept")
+    return (docs.select(id_col, F.col(score_col).alias("score"))
+            .join(comp, id_col)
+            .join(clustered, id_col, "left")
+            .select(id_col, "cluster_id", "score",
+                    F.coalesce("kept", F.lit(True)).alias("kept")))
+
+
+def dedup_best_representatives(docs: DataFrame, pairs: DataFrame,
+                               score_col: str,
+                               id_col: str = "doc_id",
+                               a_col: str = "id_a",
+                               b_col: str = "id_b") -> DataFrame:
+    """Keep one doc per near-dup cluster, best score wins (see
+    best_representative_decisions); losers leave via a key-width
+    anti-join — document payloads never enter the cluster machinery."""
+    losers = (best_representative_decisions(
+        docs.select(id_col, score_col), pairs, score_col,
+        id_col, a_col, b_col)
+        .filter(~F.col("kept")).select(id_col))
+    return docs.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # paragraph-level exact dedup (RefinedWeb / Dolma style)
 # ---------------------------------------------------------------------------

@@ -35,10 +35,11 @@ sh AS (
 )""".replace("{t}", "\t").replace("{n}", "\n").replace("{r}", "\r")
 
 
-def _minhash_pair_ctes(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_pair_ctes(num_hashes: int = 16, bands: int = 4,
+                       aug_sql: str | None = None) -> str:
     """Shared CTE chain (aug ... j) producing minhash-LSH verified pair
-    rows — composed by both the q14 pair query and the q35 cluster
-    oracle."""
+    rows — composed by the q14 pair query, the q35 cluster oracle, and
+    (with a custom aug_sql corpus) the q75 best-representative oracle."""
     rows = num_hashes // bands
     # 4 x 32-bit slices per digest — must mirror dedup.minhash_signature
     mins = ", ".join(
@@ -52,7 +53,7 @@ def _minhash_pair_ctes(num_hashes: int = 16, bands: int = 4) -> str:
         )
         for j in range(bands)
     )
-    return f"""aug AS ({_AUG}),
+    return f"""aug AS ({aug_sql or _AUG}),
 {_SHINGLES},
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS ({band_selects}),
@@ -164,6 +165,62 @@ comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n)
 SELECT doc_id, cluster_id,
        (doc_id = cluster_id) AS is_representative
 FROM comp
+"""
+
+
+def _best_representatives_sql(num_hashes: int = 16, bands: int = 4,
+                              threshold: float = 0.5) -> str:
+    """q75: the q35 recursive closure + the q73 quality-ppm expressions,
+    winner per cluster = max q_ppm then min doc_id (row_number replay),
+    isolated docs kept by definition. Corpus: every third ORIGINAL gets
+    digit junk; its clone stays clean — the clone should win."""
+    aug75 = (
+        "SELECT doc_id, CASE WHEN doc_id % 3 = 0 "
+        "THEN text || ' 00 11 22 33' ELSE text END AS text FROM documents "
+        "UNION ALL SELECT doc_id + 100000, text FROM documents"
+    )
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes(num_hashes, bands, aug_sql=aug75)},
+p AS (SELECT id_a, id_b FROM j WHERE jac >= {threshold}),
+edges AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+reach(n, m) AS (
+  SELECT doc_id, doc_id FROM aug
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+),
+comp AS (SELECT n AS doc_id, min(m) AS cluster_id FROM reach GROUP BY n),
+feat AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[ \t\n\r]', '', 'g'))::DOUBLE
+           / greatest(len(regexp_split_to_array(trim(text), '[ \t\n\r]+')), 1)
+           AS mean_tok,
+         length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS alpha,
+         length(text) AS n_chars
+  FROM aug
+),
+qual AS (
+  SELECT doc_id, round(round(
+    (CASE WHEN n_chars >= 20 AND n_chars <= 100000 THEN 0.4 ELSE 0.0 END)
+    + (CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0 THEN 0.3 ELSE 0.0 END)
+    + least(alpha, 1.0) * 0.3, 6) * 1000000)::BIGINT AS q_ppm
+  FROM feat
+),
+pn AS (SELECT id_a AS doc_id FROM p UNION SELECT id_b FROM p),
+rnk AS (
+  SELECT c.doc_id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.q_ppm DESC, c.doc_id ASC) AS rn
+  FROM comp c
+  JOIN qual q ON q.doc_id = c.doc_id
+  WHERE c.doc_id IN (SELECT doc_id FROM pn)
+)
+SELECT c.doc_id, c.cluster_id, q.q_ppm,
+       coalesce(r.rn = 1, TRUE) AS kept
+FROM comp c
+JOIN qual q ON q.doc_id = c.doc_id
+LEFT JOIN rnk r ON r.doc_id = c.doc_id
 """
 
 
@@ -1547,6 +1604,7 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q72_incremental_dedup": _incremental_dedup_sql(16, 4, 0.5),
     "q73_domain_quality": _domain_quality_sql(),
     "q74_encoding_noise": _encoding_noise_sql(),
+    "q75_best_representatives": _best_representatives_sql(16, 4, 0.5),
     "q35_dedup_clusters": _dedup_clusters_sql(16, 4, 0.5),
     "q36_c4_line_filter": _C4_LINE_FILTER_SQL,
     "q37_stratified_split": _STRATIFIED_SPLIT_SQL,

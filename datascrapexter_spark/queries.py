@@ -1221,6 +1221,33 @@ def q74_encoding_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_best_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted near-dup resolution: per cluster the
+    highest-quality copy survives (tie: min doc_id) instead of blindly
+    the min id. The corpus degrades every third ORIGINAL with digit junk
+    while its clone stays clean, so the winner is often the larger id —
+    the case min-id representatives get wrong. Integer-ppm quality from
+    quality_columns; the winner window runs only over pair-graph nodes."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.when(d % 3 == 0, F.concat("text", F.lit(" 00 11 22 33")))
+        .otherwise(F.col("text")).alias("text"))
+    clone = docs.select((d + 100000).alias("doc_id"), "text")
+    aug = base.unionByName(clone)
+    pairs = dedup.minhash_lsh_pairs(
+        aug, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+    q_ppm = F.round(
+        textstats.quality_columns("text")["quality_score"] * 1_000_000
+    ).cast("long")
+    scored = aug.select("doc_id", q_ppm.alias("q_ppm"))
+    return dedup.best_representative_decisions(
+        scored, pairs, "q_ppm"
+    ).select("doc_id", "cluster_id", F.col("score").alias("q_ppm"), "kept")
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1739,5 +1766,6 @@ QUERIES = {
     "q72_incremental_dedup": q72_incremental_dedup,
     "q73_domain_quality": q73_domain_quality,
     "q74_encoding_noise": q74_encoding_noise,
+    "q75_best_representatives": q75_best_representatives,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

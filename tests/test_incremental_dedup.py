@@ -196,3 +196,22 @@ def test_compact_minhash_index(spark, corpus, batch, tmp_path):
     assert len(before) > len(set(before))
     assert after == sorted(set(before))
     assert len(after) == len(set(after))
+
+
+def test_best_representative_decisions(spark):
+    """Quality-weighted cluster winners: best score wins, ties fall back
+    to min id, isolated docs always kept, losers leave via anti-join."""
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 90), (3, 50),     # cluster {1,2,3}: 2 wins (score)
+         (7, 40), (8, 40),              # cluster {7,8}: tie -> 7 wins
+         (9, 5)],                       # isolated -> kept
+        "doc_id long, score long")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    dec = {r["doc_id"]: r for r in dedup.best_representative_decisions(
+        docs, pairs, "score").collect()}
+    assert [dec[i]["kept"] for i in (1, 2, 3, 7, 8, 9)] == [
+        False, True, False, True, False, True]
+    assert dec[2]["cluster_id"] == 1 and dec[8]["cluster_id"] == 7
+    kept = dedup.dedup_best_representatives(docs, pairs, "score")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 7, 9]
