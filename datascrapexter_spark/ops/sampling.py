@@ -255,3 +255,43 @@ def pack_sequences(df: DataFrame, capacity: int, key_col: str,
 
     return (d.groupBy("_shard").applyInPandas(_pack, schema)
             .withColumnRenamed("_shard", "shard"))
+
+
+def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split long documents into overlapping token-window chunks — the
+    pretraining/RAG chunker (distinct from pack_sequences, which packs
+    WHOLE short docs into context windows; this slices LONG docs apart).
+
+    Windows start every `stride = max_tokens - overlap` tokens; the last
+    window may be short; a doc with <= max_tokens tokens yields exactly
+    one chunk (itself). Deterministic integer arithmetic throughout:
+    n_chunks = 1 + ceil(max(n_tokens - max_tokens, 0) / stride), chunk k
+    covers tokens [1 + k*stride, ... + max_tokens). Pure codegen — the
+    token array is materialized ONCE per doc and carried through a
+    Generate (posexplode of the chunk-index sequence), so chunking a
+    100-TB corpus is one scan with zero shuffles and no Python.
+
+    Returns (id, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), "[ \\t\\n\\r]+")
+    n = F.size(toks)
+    over = F.greatest(n - F.lit(max_tokens), F.lit(0))
+    n_chunks = (F.lit(1)
+                + ((over + F.lit(stride - 1)) - (over + F.lit(stride - 1))
+                   % F.lit(stride)) / F.lit(stride)).cast("int")
+    base = df.select(F.col(id_col), toks.alias("_toks"),
+                     F.sequence(F.lit(0), n_chunks - 1).alias("_idx"))
+    ex = base.select(F.col(id_col), "_toks",
+                     F.explode("_idx").alias("chunk_idx"))
+    chunk = F.slice("_toks", F.col("chunk_idx") * stride + 1, max_tokens)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

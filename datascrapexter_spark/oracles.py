@@ -1051,6 +1051,27 @@ FROM a
 """
 
 
+
+_DOC_CHUNKING_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '[ {t}{n}{r}]+') AS toks
+  FROM documents
+),
+k AS (
+  SELECT doc_id, toks,
+         (1 + (greatest(len(toks) - 16, 0) + 11) // 12)::INT AS n_chunks
+  FROM t
+),
+e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_idx FROM k)
+SELECT doc_id,
+       chunk_idx::BIGINT AS chunk_idx,
+       len(toks[chunk_idx*12+1 : chunk_idx*12+16])::BIGINT AS n_chunk_tokens,
+       array_to_string(toks[chunk_idx*12+1 : chunk_idx*12+16], ' ') AS chunk_text
+FROM e
+""".replace("{t}", "\t").replace("{n}", "\n").replace("{r}", "\r")
+
+
 def _pagerank_sql(iters: int = 5, out_deg: int = 4) -> str:
     """CTE replay of ops.graphrank.pagerank_micro: same md5-derived edges,
     same integer recurrence (BIGINT micro-units, ``//`` floor division) —
@@ -1605,6 +1626,7 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q73_domain_quality": _domain_quality_sql(),
     "q74_encoding_noise": _encoding_noise_sql(),
     "q75_best_representatives": _best_representatives_sql(16, 4, 0.5),
+    "q76_doc_chunking": _DOC_CHUNKING_SQL,
     "q35_dedup_clusters": _dedup_clusters_sql(16, 4, 0.5),
     "q36_c4_line_filter": _C4_LINE_FILTER_SQL,
     "q37_stratified_split": _STRATIFIED_SPLIT_SQL,

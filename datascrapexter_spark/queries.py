@@ -1248,6 +1248,15 @@ def q75_best_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "cluster_id", F.col("score").alias("q_ppm"), "kept")
 
 
+def q76_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (pretraining/RAG chunker):
+    16-token windows, 4-token overlap, one Generate pass, zero shuffle."""
+    from .ops.sampling import chunk_documents
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, max_tokens=16, overlap=4)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1767,5 +1776,6 @@ QUERIES = {
     "q73_domain_quality": q73_domain_quality,
     "q74_encoding_noise": q74_encoding_noise,
     "q75_best_representatives": q75_best_representatives,
+    "q76_doc_chunking": q76_doc_chunking,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

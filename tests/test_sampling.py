@@ -281,3 +281,30 @@ def test_pack_sequences_plan_one_exchange_arrow_fold(spark):
     assert plan.count("Exchange") == 1
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_chunk_documents_windows(spark):
+    """Overlapping chunker: exact window starts/lengths, short-doc
+    identity, empty text single chunk, overlap >= max rejected."""
+    import pytest as _pytest
+    from datascrapexter_spark.ops.sampling import chunk_documents
+
+    toks18 = " ".join(f"t{i}" for i in range(18))
+    rows = [(1, toks18),            # 18 tokens, max 8 stride 6 -> starts 1,7,13
+            (2, "a b c"),           # short -> 1 chunk
+            (3, "")]                # empty -> 1 chunk of ''
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, max_tokens=8, overlap=2)
+    got = {(r["doc_id"], r["chunk_idx"]): (r["n_chunk_tokens"], r["chunk_text"])
+           for r in out.collect()}
+    assert {k[0] for k in got} == {1, 2, 3}
+    assert [k[1] for k in sorted(k for k in got if k[0] == 1)] == [0, 1, 2]
+    assert got[(1, 0)] == (8, " ".join(f"t{i}" for i in range(8)))
+    assert got[(1, 1)][1].startswith("t6 ")       # stride 6 -> starts at t6
+    assert got[(1, 2)] == (6, " ".join(f"t{i}" for i in range(12, 18)))
+    assert got[(2, 0)] == (3, "a b c")
+    assert got[(3, 0)][1] == ""
+    # overlap coverage: consecutive chunks share `overlap` tokens
+    assert got[(1, 0)][1].split()[-2:] == got[(1, 1)][1].split()[:2]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=4, overlap=4)
