@@ -1,0 +1,125 @@
+"""Training-mix construction: the "carve a clean N-token mix out of a raw
+crawl corpus" call, composing the pipeline's own operators in the standard
+order — quality gate → encoding-noise gate → language filter → domain
+blocklist → exact dedup → language rebalance → token-budget cut.
+
+Every stage is an existing, individually oracle-gated operator (quality /
+noise: textstats; dedup: ops.dedup.exact_dedup; rebalance + budget:
+ops.sampling), composed into ONE lazy plan with per-stage counters riding
+the same action via DataFrame.observe (zero extra passes — the
+ops.pipeline discipline). Every decision is content-hash-deterministic, so
+the identical mix comes out of every re-run, resume, or independent SQL
+replay.
+
+Scale: the gates are pure codegen filters that push into the scan; dedup
+is one digest-keyed shuffle; the budget cut is the distributed prefix sum
+of take_token_budget (driver sees <= n_buckets rows). Nothing here adds a
+shuffle beyond its parts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from .dedup import exact_dedup
+from .sampling import take_token_budget, hash_unit_col
+from .textstats import (
+    encoding_noise_cols,
+    lang_id_col,
+    quality_columns,
+    token_count_col,
+)
+
+
+@dataclass
+class MixConfig:
+    min_quality_ppm: int = 500_000          # quality gate (0 disables)
+    max_noise_ppm: int | None = 10_000      # encoding-noise gate
+    langs: tuple[str, ...] | None = ("en",)  # predicted-language filter
+    blocked_domains: tuple[str, ...] | None = None  # needs domain_col
+    domain_col: str | None = None
+    dedup: bool = True                      # exact content dedup
+    lang_rates: dict[str, float] = field(default_factory=dict)
+    default_lang_rate: float = 1.0
+    token_budget: int | None = None
+    sample_seed: int = 1
+    budget_seed: int = 4
+
+
+@dataclass
+class MixRun:
+    df: DataFrame                           # the kept mix (lazy)
+    observation: Observation
+    stages: list[str] = field(default_factory=list)  # gates that ran, in order
+
+    def manifest(self) -> dict[str, int]:
+        """Per-stage survivor counts + kept token total. Triggers the
+        plan if no action has run yet (observe values materialize with
+        the first action over the observed plan)."""
+        self.df.count()
+        return {k: int(v) for k, v in self.observation.get.items()}
+
+
+def build_training_mix(docs: DataFrame, cfg: MixConfig | None = None,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> MixRun:
+    """Compose the mix. Returns the kept docs with (lang_pred, q_ppm,
+    n_tokens, cum_tokens) decision columns, plus an Observation carrying
+    per-stage survivor counts.
+
+    Stage order is the conventional one (cheap codegen gates first so
+    the digest shuffle and the budget window see the smallest possible
+    corpus); every stage is skippable via config, mirroring the
+    reference pipeline's optional components (pipeline.go:115-215).
+    """
+    cfg = cfg or MixConfig()
+    qc = quality_columns(text_col)
+    q_ppm = F.round(qc["quality_score"] * 1_000_000).cast("long")
+    d = docs.withColumn("q_ppm", q_ppm) \
+            .withColumn("lang_pred", lang_id_col(text_col)) \
+            .withColumn("n_tokens", token_count_col(text_col).cast("long"))
+
+    stages = []
+    if cfg.min_quality_ppm:
+        d = d.filter(F.col("q_ppm") >= cfg.min_quality_ppm)
+        stages.append("after_quality")
+    if cfg.max_noise_ppm is not None:
+        noise = encoding_noise_cols(text_col)["noise_ppm"]
+        d = d.filter(noise <= cfg.max_noise_ppm)
+        stages.append("after_noise")
+    if cfg.langs is not None:
+        d = d.filter(F.col("lang_pred").isin(list(cfg.langs)))
+        stages.append("after_lang")
+    if cfg.blocked_domains:
+        if not cfg.domain_col:
+            raise ValueError("blocked_domains requires domain_col")
+        bl = d.sparkSession.createDataFrame(
+            [(x,) for x in sorted(set(cfg.blocked_domains))],
+            f"{cfg.domain_col} string")
+        d = d.join(F.broadcast(bl), cfg.domain_col, "left_anti")
+        stages.append("after_blocklist")
+    if cfg.dedup:
+        d = exact_dedup(d, [text_col], order_col=id_col)
+        stages.append("after_dedup")
+    if cfg.lang_rates or cfg.default_lang_rate != 1.0:
+        rate = F.lit(float(cfg.default_lang_rate))
+        for value, r in sorted(cfg.lang_rates.items()):
+            rate = F.when(F.col("lang_pred") == value,
+                          F.lit(float(r))).otherwise(rate)
+        d = d.filter(hash_unit_col(id_col, cfg.sample_seed) < rate)
+        stages.append("after_rebalance")
+    if cfg.token_budget is not None:
+        d = take_token_budget(d, cfg.token_budget, id_col,
+                              tokens_col="n_tokens", seed=cfg.budget_seed)
+        stages.append("after_budget")
+    else:
+        d = d.withColumn("cum_tokens", F.lit(None).cast("long"))
+
+    obs = Observation("mix_manifest")
+    d = d.observe(obs,
+                  F.count(F.lit(1)).alias("kept_docs"),
+                  F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("kept_tokens"))
+    return MixRun(df=d, observation=obs, stages=stages)

@@ -1072,6 +1072,89 @@ FROM e
 """.replace("{t}", "\t").replace("{n}", "\n").replace("{r}", "\r")
 
 
+def _training_mix_sql() -> str:
+    """q77: the mix composition replayed stage by stage — q19's lang
+    scoring, q73's quality ppm, q74's noise counting (generated from
+    MOJIBAKE_SEQS), exact_dedup's sentinel digest keep-first, the
+    u(key,seed) rebalance, and the q44 cumulative budget cut."""
+    def lst(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+    order = ("en", "de", "fr", "es")
+    score = " ".join(
+        f"WHEN s_{lang} > 0 "
+        + " ".join(
+            f"AND s_{lang} >= s_{other}"
+            for other in order
+            if other != lang and order.index(other) > order.index(lang)
+        )
+        + f" THEN '{lang}'"
+        for lang in order
+    )
+    moji = " + ".join(
+        f"(length(text) - length(replace(text, '{s}', ''))) // {len(s)}"
+        for s in MOJIBAKE_SEQS
+    )
+    return f"""
+WITH sc AS (
+  SELECT doc_id, source, text,
+         len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+')), {lst('en')})) AS s_en,
+         len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+')), {lst('de')})) AS s_de,
+         len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+')), {lst('fr')})) AS s_fr,
+         len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+')), {lst('es')})) AS s_es,
+         len(regexp_split_to_array(trim(text), '[ \t\n\r]+'))::BIGINT AS n_tokens,
+         length(regexp_replace(text, '[ \t\n\r]', '', 'g'))::DOUBLE
+           / greatest(len(regexp_split_to_array(trim(text), '[ \t\n\r]+')), 1) AS mean_tok,
+         length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS alpha,
+         length(text) AS n_chars,
+         ((length(text) - length(replace(text, '�', '')))
+          + (length(text) - length(regexp_replace(text,
+               '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')))
+          + ({moji}))::BIGINT AS n_noise
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source, text, n_tokens,
+         CASE {score} ELSE 'unknown' END AS lang_pred,
+         round(round(
+           (CASE WHEN n_chars >= 20 AND n_chars <= 100000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0 THEN 0.3 ELSE 0.0 END)
+           + least(alpha, 1.0) * 0.3, 6) * 1000000)::BIGINT AS q_ppm,
+         (1000000 * n_noise) // greatest(n_chars, 1) AS noise_ppm
+  FROM sc
+),
+g AS (
+  SELECT * FROM q
+  WHERE q_ppm >= 500000 AND noise_ppm <= 10000 AND lang_pred = 'en'
+    AND source NOT IN ('src3', 'src7')
+),
+dd AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY md5(coalesce(text, chr(0) || '<null>'))
+    ORDER BY doc_id ASC) AS _rn
+  FROM g
+),
+s AS (
+  SELECT doc_id, lang_pred, q_ppm, n_tokens,
+         ('0x' || substr(md5(doc_id::VARCHAR || '#4'), 1, 8))::BIGINT
+           / 4294967296.0 AS u4
+  FROM dd
+  WHERE _rn = 1
+    AND ('0x' || substr(md5(doc_id::VARCHAR || '#1'), 1, 8))::BIGINT
+          / 4294967296.0 < 0.5
+),
+c AS (
+  SELECT doc_id, lang_pred, q_ppm, n_tokens,
+         sum(n_tokens) OVER (ORDER BY u4, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+SELECT doc_id, lang_pred, q_ppm, n_tokens, cum::BIGINT AS cum_tokens
+FROM c WHERE cum <= 10000
+"""
+
+
 def _pagerank_sql(iters: int = 5, out_deg: int = 4) -> str:
     """CTE replay of ops.graphrank.pagerank_micro: same md5-derived edges,
     same integer recurrence (BIGINT micro-units, ``//`` floor division) —
@@ -1627,6 +1710,7 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q74_encoding_noise": _encoding_noise_sql(),
     "q75_best_representatives": _best_representatives_sql(16, 4, 0.5),
     "q76_doc_chunking": _DOC_CHUNKING_SQL,
+    "q77_training_mix": _training_mix_sql(),
     "q35_dedup_clusters": _dedup_clusters_sql(16, 4, 0.5),
     "q36_c4_line_filter": _C4_LINE_FILTER_SQL,
     "q37_stratified_split": _STRATIFIED_SPLIT_SQL,

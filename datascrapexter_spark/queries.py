@@ -1257,6 +1257,25 @@ def q76_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, max_tokens=16, overlap=4)
 
 
+def q77_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: carve a clean token-budgeted training mix
+    out of the corpus — quality gate → noise gate → predicted-language
+    filter → domain blocklist → exact dedup → language rebalance →
+    10k-token budget cut, every stage an already-gated operator, all
+    decisions content-hash-deterministic (ops.mix.build_training_mix)."""
+    from .ops.mix import MixConfig, build_training_mix
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    cfg = MixConfig(
+        min_quality_ppm=500_000, max_noise_ppm=10_000, langs=("en",),
+        blocked_domains=("src3", "src7"), domain_col="source",
+        dedup=True, lang_rates={"en": 0.5}, token_budget=10_000,
+        sample_seed=1, budget_seed=4)
+    run = build_training_mix(docs, cfg)
+    return run.df.select("doc_id", "lang_pred", "q_ppm", "n_tokens",
+                         "cum_tokens")
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1777,5 +1796,6 @@ QUERIES = {
     "q74_encoding_noise": q74_encoding_noise,
     "q75_best_representatives": q75_best_representatives,
     "q76_doc_chunking": q76_doc_chunking,
+    "q77_training_mix": q77_training_mix,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
