@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "q63_inverted_index",
     "q69_repeated_spans",
     "q70_lm_surprisal",
+    "q75_best_representatives",
+    "q77_training_mix",
 ]
 
 from datascrapexter_spark.benchjob import (  # noqa: E402

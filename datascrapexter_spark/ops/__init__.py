@@ -17,6 +17,7 @@ from . import (  # noqa: F401
     drift,
     enrich,
     graphrank,
+    mix,
     multimodal,
     pii,
     pipeline,

@@ -652,3 +652,37 @@ def encoding_noise_cols(text: Column | str) -> dict[str, Column]:
         "n_mojibake": n_moji,
         "noise_ppm": ppm,
     }
+
+
+def readability_cols(text: Column | str) -> dict[str, Column]:
+    """Flesch reading-ease in exact integer MILLIpoints (repo convention:
+    floor-div integer arithmetic so any SQL engine reproduces the value
+    bit-for-bit; the classic constants 206.835/1.015/84.6 scaled x1000).
+
+    Heuristic inputs, all codegen:
+      words      whitespace tokens
+      sentences  [.!?]+ runs (min 1)
+      syllables  [aeiouy]+ vowel groups over the lowercased text (the
+                 standard cheap approximation)
+
+    flesch_milli = 206835 - (1015*words)//sentences - (84600*syll)//words
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.greatest(F.size(tokens_col(c)), F.lit(1)).cast("long")
+    low = F.lower(c)
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1)).cast("long")
+    syllables = F.size(
+        F.regexp_extract_all(low, F.lit("[aeiouy]+"), F.lit(0))).cast("long")
+    w1015 = F.lit(1015) * words
+    s84600 = F.lit(84600) * syllables
+    flesch = (F.lit(206835)
+              - ((w1015 - w1015 % sentences) / sentences).cast("long")
+              - ((s84600 - s84600 % words) / words).cast("long"))
+    return {
+        "n_words": words,
+        "n_sentences": sentences,
+        "n_syllables": syllables,
+        "flesch_milli": flesch.cast("long"),
+    }

@@ -1155,6 +1155,22 @@ FROM c WHERE cum <= 10000
 """
 
 
+
+_READABILITY_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         greatest(len(regexp_split_to_array(trim(text), '[ {t}{n}{r}]+')), 1)::BIGINT AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       (206835 - (1015 * n_words) // n_sentences
+               - (84600 * n_syllables) // n_words)::BIGINT AS flesch_milli
+FROM f
+""".replace("{t}", "\t").replace("{n}", "\n").replace("{r}", "\r")
+
+
 def _pagerank_sql(iters: int = 5, out_deg: int = 4) -> str:
     """CTE replay of ops.graphrank.pagerank_micro: same md5-derived edges,
     same integer recurrence (BIGINT micro-units, ``//`` floor division) —
@@ -1711,6 +1727,7 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q75_best_representatives": _best_representatives_sql(16, 4, 0.5),
     "q76_doc_chunking": _DOC_CHUNKING_SQL,
     "q77_training_mix": _training_mix_sql(),
+    "q78_readability": _READABILITY_SQL,
     "q35_dedup_clusters": _dedup_clusters_sql(16, 4, 0.5),
     "q36_c4_line_filter": _C4_LINE_FILTER_SQL,
     "q37_stratified_split": _STRATIFIED_SPLIT_SQL,

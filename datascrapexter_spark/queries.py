@@ -1276,6 +1276,20 @@ def q77_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "cum_tokens")
 
 
+def q78_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease in exact integer millipoints (vowel-group
+    syllable heuristic, [.!?]+ sentence runs) — pure codegen, one scan."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    rc = textstats.readability_cols("text")
+    return docs.select(
+        "doc_id",
+        rc["n_words"].alias("n_words"),
+        rc["n_sentences"].alias("n_sentences"),
+        rc["n_syllables"].alias("n_syllables"),
+        rc["flesch_milli"].alias("flesch_milli"),
+    )
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1797,5 +1811,6 @@ QUERIES = {
     "q75_best_representatives": q75_best_representatives,
     "q76_doc_chunking": q76_doc_chunking,
     "q77_training_mix": q77_training_mix,
+    "q78_readability": q78_readability,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

@@ -134,3 +134,22 @@ def test_encoding_noise_hand_computed(spark):
     # ppm floor arithmetic: 3 noise chars / len chars
     n = len(rows[2][1])
     assert out[3]["noise_ppm"] == (1_000_000 * 3) // len("bad \ufffd and \ufffd and \ufffd")
+
+
+def test_readability_hand_computed(spark):
+    from datascrapexter_spark.ops.textstats import readability_cols
+
+    rows = [(1, "The cat sat. The dog ran! Did it rain?"),
+            (2, "word")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rc = readability_cols("text")
+    out = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[c.alias(k) for k, c in rc.items()]).collect()}
+    d = out[1]
+    assert d["n_words"] == 9 and d["n_sentences"] == 3
+    # vowel groups: e,a,a,e,o,a,i,i,ai -> 9
+    assert d["n_syllables"] == 9
+    assert d["flesch_milli"] == 206835 - (1015 * 9) // 3 - (84600 * 9) // 9
+    s = out[2]
+    assert s["n_words"] == 1 and s["n_sentences"] == 1 and s["n_syllables"] == 1
+    assert s["flesch_milli"] == 206835 - 1015 - 84600
