@@ -17,7 +17,7 @@ VALID_FIELD_TYPES = frozenset(
     {"text", "html", "attr", "list", "number", "float", "integer", "boolean",
      "date", "datetime", "time", "url", "email", "phone", "json", "csv",
      "table", "count", "exists", "jsonld", "microdata", "rdfa", "media",
-     "main_content", "social_meta"}
+     "main_content", "social_meta", "outline"}
 )
 
 # the one field type with an implicit selector: structured-data blocks are
@@ -43,7 +43,7 @@ class FieldConfig:
         if not self.selector and self.type not in ("jsonld", "microdata",
                                                    "rdfa", "media",
                                                    "main_content",
-                                                   "social_meta"):
+                                                   "social_meta", "outline"):
             raise ValueError("field selector is required")
         if not self.type:
             raise ValueError("field type is required")

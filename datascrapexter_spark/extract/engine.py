@@ -53,6 +53,7 @@ _SPARK_TYPE_BY_FIELD_TYPE: dict[str, T.DataType] = {
     "rdfa": T.StringType(),  # canonical JSON dump of the item tree(s)
     "social_meta": T.StringType(),  # canonical JSON dump of the og:/twitter: map
     "media": T.ArrayType(T.MapType(T.StringType(), T.StringType())),
+    "outline": T.ArrayType(T.MapType(T.StringType(), T.StringType())),
     "csv": T.ArrayType(T.ArrayType(T.StringType())),
     "table": T.StructType([
         T.StructField("headers", T.ArrayType(T.StringType())),
@@ -102,7 +103,7 @@ def _to_cell(cfg: FieldConfig, value: Any):
     t = cfg.type
     if t in ("json", "jsonld", "microdata", "rdfa", "social_meta"):
         return _json.dumps(value, separators=(",", ":"), sort_keys=True)
-    if t == "media":
+    if t in ("media", "outline"):
         return list(value)
     if t in ("number", "float"):
         return float(value)

@@ -414,6 +414,17 @@ def _extract_rdfa(nodes: list[Node]) -> Any:
 
 _MEDIA_DEFAULT_SELECTOR = "img, video, audio, source"
 
+OUTLINE_DEFAULT_SELECTOR = "h1, h2, h3, h4, h5, h6"
+
+
+def _extract_outline(nodes: list[Node]) -> list[dict]:
+    """Document heading outline: one {level, text} row per h1-h6 in
+    document order — the structure signal behind TOC building, section
+    chunking, and content-quality heuristics (a page with no headings at
+    depth > 1 is usually a listing/boilerplate page)."""
+    return [{"level": str(int(n.tag[1])), "text": go_trim_space(n.text())}
+            for n in nodes]
+
 
 def _extract_media(nodes: list[Node]) -> list[dict]:
     """Media extractor (the reference's declared media content processor,
@@ -509,7 +520,7 @@ def get_default_value(cfg: FieldConfig) -> Any:
     if t in ("json", "jsonld", "microdata", "rdfa", "table",
              "social_meta"):
         return {}
-    if t == "media":
+    if t in ("media", "outline"):
         return []
     return ""
 
@@ -532,6 +543,8 @@ def extract_raw_value(doc: Node, cfg: FieldConfig) -> Any:
                      if not n.attr("property")]
     elif cfg.type == "media" and not selector:
         selection = select(doc, _MEDIA_DEFAULT_SELECTOR)
+    elif cfg.type == "outline" and not selector:
+        selection = select(doc, OUTLINE_DEFAULT_SELECTOR)
     elif cfg.type == "social_meta" and not selector:
         selection = select(doc, SOCIAL_META_DEFAULT_SELECTOR)
     elif cfg.type == "main_content" and not selector:
@@ -584,6 +597,8 @@ def extract_raw_value(doc: Node, cfg: FieldConfig) -> Any:
         return _extract_rdfa(selection)
     if t == "media":
         return _extract_media(selection)
+    if t == "outline":
+        return _extract_outline(selection)
     if t == "social_meta":
         return _extract_social_meta(selection)
     if t == "csv":

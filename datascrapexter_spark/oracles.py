@@ -1171,6 +1171,25 @@ FROM f
 """.replace("{t}", "\t").replace("{n}", "\n").replace("{r}", "\r")
 
 
+
+# q79: outline rows re-derived from the generating formula (h1, h2-A,
+# optional h3 on even ids, optional h2-B on ids % 3 = 0; pos = document
+# order with the optional rows shifting later positions)
+_OUTLINE_SQL = """
+SELECT doc_id, 0::BIGINT AS pos, 1::BIGINT AS level,
+       'Title ' || doc_id AS heading FROM documents
+UNION ALL
+SELECT doc_id, 1, 2, 'Section A ' || (doc_id % 5) FROM documents
+UNION ALL
+SELECT doc_id, 2, 3, 'Detail ' || (doc_id % 7) FROM documents
+WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, 2 + (CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END), 2,
+       'Section B' FROM documents
+WHERE doc_id % 3 = 0
+"""
+
+
 def _pagerank_sql(iters: int = 5, out_deg: int = 4) -> str:
     """CTE replay of ops.graphrank.pagerank_micro: same md5-derived edges,
     same integer recurrence (BIGINT micro-units, ``//`` floor division) —
@@ -1728,6 +1747,7 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q76_doc_chunking": _DOC_CHUNKING_SQL,
     "q77_training_mix": _training_mix_sql(),
     "q78_readability": _READABILITY_SQL,
+    "q79_outline": _OUTLINE_SQL,
     "q35_dedup_clusters": _dedup_clusters_sql(16, 4, 0.5),
     "q36_c4_line_filter": _C4_LINE_FILTER_SQL,
     "q37_stratified_split": _STRATIFIED_SPLIT_SQL,

@@ -1290,6 +1290,35 @@ def q78_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q79_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-outline extraction (`type: outline`, the 26th field type):
+    h1-h6 collected in document order as (level, text) rows — TOC /
+    section-chunking structure signal; one mapInPandas crossing, then a
+    posexplode back to relational rows."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><h1>Title "), d.cast("string"), F.lit("</h1>"),
+        F.lit("<p>intro</p><h2>Section A "), (d % 5).cast("string"),
+        F.lit("</h2>"),
+        F.when(d % 2 == 0,
+               F.concat(F.lit("<h3>Detail "), (d % 7).cast("string"),
+                        F.lit("</h3>")))
+        .otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("<h2>Section B</h2>")).otherwise(F.lit("")),
+        F.lit("<p>body text</p></body></html>"))
+    pages = docs.select("doc_id", html.alias("html"))
+    fields = [FieldConfig(name="toc", selector="", type="outline")]
+    out = extract_fields_df(pages, fields)
+    return out.select(
+        "doc_id", F.posexplode("toc").alias("pos", "h")
+    ).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"),
+        F.col("h")["level"].cast("long").alias("level"),
+        F.col("h")["text"].alias("heading"),
+    )
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1812,5 +1841,6 @@ QUERIES = {
     "q76_doc_chunking": q76_doc_chunking,
     "q77_training_mix": q77_training_mix,
     "q78_readability": q78_readability,
+    "q79_outline": q79_outline,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

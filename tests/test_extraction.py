@@ -320,3 +320,27 @@ def test_social_meta_extraction():
     scoped = FieldConfig(name="sm", selector='meta[name^="twitter:"]',
                          type="social_meta")
     assert extract_field(doc, scoped) == {"twitter:card": "summary"}
+
+
+def test_outline_field_type(spark):
+    """`type: outline` — h1-h6 in document order, level+text rows; scoped
+    selector overrides the default; heading-free page yields []."""
+    from datascrapexter_spark.extract.config import FieldConfig
+    from datascrapexter_spark.extract.engine import extract_fields_df
+
+    html1 = ("<html><body><h1>Top</h1><p>x</p><h2> Sub  One </h2>"
+             "<div><h3>Deep</h3></div><h2>Sub Two</h2></body></html>")
+    html2 = "<html><body><p>no headings at all</p></body></html>"
+    pages = spark.createDataFrame(
+        [(1, html1), (2, html2)], "doc_id long, html string")
+    out = extract_fields_df(
+        pages, [FieldConfig(name="toc", selector="", type="outline")])
+    rows = {r["doc_id"]: r["toc"] for r in out.collect()}
+    assert [(h["level"], h["text"]) for h in rows[1]] == [
+        ("1", "Top"), ("2", "Sub  One"), ("3", "Deep"), ("2", "Sub Two")]
+    assert rows[2] == []
+
+    scoped = extract_fields_df(
+        pages, [FieldConfig(name="toc", selector="div h3", type="outline")])
+    srows = {r["doc_id"]: r["toc"] for r in scoped.collect()}
+    assert [(h["level"], h["text"]) for h in srows[1]] == [("3", "Deep")]
