@@ -28,6 +28,7 @@ from .dedup import exact_dedup
 from .sampling import take_token_budget, hash_unit_col
 from .textstats import (
     encoding_noise_cols,
+    fingerprint_col,
     lang_id_col,
     quality_columns,
     token_count_col,
@@ -123,3 +124,57 @@ def build_training_mix(docs: DataFrame, cfg: MixConfig | None = None,
                   F.count(F.lit(1)).alias("kept_docs"),
                   F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("kept_tokens"))
     return MixRun(df=d, observation=obs, stages=stages)
+
+
+def corpus_report(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """One-call corpus health summary — the numbers an operator reads
+    before and after a mix build: volume, exact-duplication, language
+    split, quality split, token totals. Returns a tall (metric, value)
+    table of exact BIGINTs.
+
+    Scale: one pass builds the per-doc feature projection (all codegen);
+    the report is a single global aggregate of it (count/sum/countDistinct
+    — two-phase, map-side partials), then a constant-width unpivot. No
+    joins, no windows; at 100 TB this costs one scan + one tiny exchange.
+    """
+    qc = quality_columns(text_col)
+    q_ppm = F.round(qc["quality_score"] * 1_000_000).cast("long")
+    per = docs.select(
+        F.col(id_col),
+        q_ppm.alias("q"),
+        lang_id_col(text_col).alias("lang"),
+        token_count_col(text_col).cast("long").alias("toks"),
+        fingerprint_col(text_col).alias("fp"),
+        encoding_noise_cols(text_col)["noise_ppm"].alias("noise"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct"),
+        F.coalesce(F.sum("toks"), F.lit(0)).alias("total_tokens"),
+        F.coalesce(F.sum(F.when(F.col("q") < 500_000, 1).otherwise(0)),
+                   F.lit(0)).alias("n_low_quality"),
+        F.coalesce(F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)),
+                   F.lit(0)).alias("n_en"),
+        F.coalesce(F.sum(F.when(F.col("lang") == "unknown", 1).otherwise(0)),
+                   F.lit(0)).alias("n_lang_unknown"),
+        F.coalesce(F.sum(F.when(F.col("noise") > 1000, 1).otherwise(0)),
+                   F.lit(0)).alias("n_noisy"),
+    ).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("n_docs") - F.col("n_distinct")).cast("long")
+        .alias("n_exact_dup_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("n_low_quality").cast("long").alias("n_low_quality"),
+        F.col("n_en").cast("long").alias("n_en"),
+        F.col("n_lang_unknown").cast("long").alias("n_lang_unknown"),
+        F.col("n_noisy").cast("long").alias("n_noisy"),
+    )
+    metrics = ["n_docs", "n_exact_dup_docs", "total_tokens",
+               "n_low_quality", "n_en", "n_lang_unknown", "n_noisy"]
+    pairs = []
+    for m in metrics:
+        pairs.extend([F.lit(m), F.col(m)])
+    return (agg.select(F.explode(F.create_map(*pairs))
+                       .alias("metric", "value"))
+            .select("metric", F.col("value").cast("long").alias("value")))

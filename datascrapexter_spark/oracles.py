@@ -1190,6 +1190,84 @@ WHERE doc_id % 3 = 0
 """
 
 
+def _corpus_report_sql() -> str:
+    """q80: the corpus_report aggregate replayed over the q75 degraded
+    corpus — q19 lang CASE, q73 quality ppm, q74 noise counting, q19
+    fingerprint; global aggregate + scalar-select unpivot."""
+    def lst(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+    order = ("en", "de", "fr", "es")
+    score = " ".join(
+        f"WHEN s_{lang} > 0 "
+        + " ".join(
+            f"AND s_{lang} >= s_{other}"
+            for other in order
+            if other != lang and order.index(other) > order.index(lang)
+        )
+        + f" THEN '{lang}'"
+        for lang in order
+    )
+    moji = " + ".join(
+        f"(length(text) - length(replace(text, '{s}', ''))) // {len(s)}"
+        for s in MOJIBAKE_SEQS
+    )
+    return f"""
+WITH aug AS (
+  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+                      THEN text || ' 00 11 22 33' ELSE text END AS text
+  FROM documents
+  UNION ALL SELECT doc_id + 100000, text FROM documents
+),
+f AS (
+  SELECT doc_id, text,
+         len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+')), {lst('en')})) AS s_en,
+         len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+')), {lst('de')})) AS s_de,
+         len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+')), {lst('fr')})) AS s_fr,
+         len(list_intersect(list_distinct(regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+')), {lst('es')})) AS s_es,
+         len(regexp_split_to_array(trim(text), '[ \t\n\r]+'))::BIGINT AS toks,
+         length(regexp_replace(text, '[ \t\n\r]', '', 'g'))::DOUBLE
+           / greatest(len(regexp_split_to_array(trim(text), '[ \t\n\r]+')), 1) AS mean_tok,
+         length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))::DOUBLE
+           / greatest(length(text), 1) AS alpha,
+         length(text) AS n_chars,
+         substr(md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))), 1, 16) AS fp,
+         ((length(text) - length(replace(text, '�', '')))
+          + (length(text) - length(regexp_replace(text,
+               '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')))
+          + ({moji}))::BIGINT AS n_noise
+  FROM aug
+),
+p AS (
+  SELECT toks, fp,
+         CASE {score} ELSE 'unknown' END AS lang,
+         round(round(
+           (CASE WHEN n_chars >= 20 AND n_chars <= 100000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN mean_tok >= 2.0 AND mean_tok <= 12.0 THEN 0.3 ELSE 0.0 END)
+           + least(alpha, 1.0) * 0.3, 6) * 1000000)::BIGINT AS q_ppm,
+         (1000000 * n_noise) // greatest(n_chars, 1) AS noise_ppm
+  FROM f
+),
+a AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         count(DISTINCT fp)::BIGINT AS n_distinct,
+         coalesce(sum(toks), 0)::BIGINT AS total_tokens,
+         sum(CASE WHEN q_ppm < 500000 THEN 1 ELSE 0 END)::BIGINT AS n_low,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+         sum(CASE WHEN lang = 'unknown' THEN 1 ELSE 0 END)::BIGINT AS n_unk,
+         sum(CASE WHEN noise_ppm > 1000 THEN 1 ELSE 0 END)::BIGINT AS n_noisy
+  FROM p
+)
+SELECT 'n_docs' AS metric, n_docs AS value FROM a
+UNION ALL SELECT 'n_exact_dup_docs', n_docs - n_distinct FROM a
+UNION ALL SELECT 'total_tokens', total_tokens FROM a
+UNION ALL SELECT 'n_low_quality', n_low FROM a
+UNION ALL SELECT 'n_en', n_en FROM a
+UNION ALL SELECT 'n_lang_unknown', n_unk FROM a
+UNION ALL SELECT 'n_noisy', n_noisy FROM a
+"""
+
+
 def _pagerank_sql(iters: int = 5, out_deg: int = 4) -> str:
     """CTE replay of ops.graphrank.pagerank_micro: same md5-derived edges,
     same integer recurrence (BIGINT micro-units, ``//`` floor division) —
@@ -1748,6 +1826,7 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q77_training_mix": _training_mix_sql(),
     "q78_readability": _READABILITY_SQL,
     "q79_outline": _OUTLINE_SQL,
+    "q80_corpus_report": _corpus_report_sql(),
     "q35_dedup_clusters": _dedup_clusters_sql(16, 4, 0.5),
     "q36_c4_line_filter": _C4_LINE_FILTER_SQL,
     "q37_stratified_split": _STRATIFIED_SPLIT_SQL,

@@ -1319,6 +1319,22 @@ def q79_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q80_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health report over the q75-style degraded corpus (digit-junk
+    originals + clean clones): tall (metric, value) BIGINT table — one
+    scan, one global aggregate, constant-width unpivot."""
+    from .ops.mix import corpus_report
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    base = docs.select(
+        "doc_id",
+        F.when(d % 3 == 0, F.concat("text", F.lit(" 00 11 22 33")))
+        .otherwise(F.col("text")).alias("text"))
+    clone = docs.select((d + 100000).alias("doc_id"), "text")
+    return corpus_report(base.unionByName(clone))
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1842,5 +1858,6 @@ QUERIES = {
     "q77_training_mix": q77_training_mix,
     "q78_readability": q78_readability,
     "q79_outline": q79_outline,
+    "q80_corpus_report": q80_corpus_report,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

@@ -57,3 +57,21 @@ def test_blocklist_requires_domain_col(spark, corpus):
     with pytest.raises(ValueError):
         build_training_mix(corpus, MixConfig(blocked_domains=("x",),
                                              domain_col=None))
+
+
+def test_corpus_report(spark):
+    from datascrapexter_spark.ops.mix import corpus_report
+
+    good = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the quiet field near the old farm house")
+    rows = [(1, good), (2, good),          # exact dup pair
+            (3, good + " unique tail"),
+            (4, "z q w")]                  # low quality, no stopwords
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    m = {r["metric"]: r["value"] for r in corpus_report(df).collect()}
+    assert m["n_docs"] == 4
+    assert m["n_exact_dup_docs"] == 1
+    assert m["n_low_quality"] == 1
+    assert m["n_en"] == 3 and m["n_lang_unknown"] == 1
+    assert m["n_noisy"] == 0
+    assert m["total_tokens"] == sum(len(t.split()) for _, t in rows)
