@@ -215,3 +215,38 @@ def test_best_representative_decisions(spark):
     assert dec[2]["cluster_id"] == 1 and dec[8]["cluster_id"] == 7
     kept = dedup.dedup_best_representatives(docs, pairs, "score")
     assert sorted(r["doc_id"] for r in kept.collect()) == [2, 7, 9]
+
+
+def test_ingest_stream_with_compaction_between_drains(spark, tmp_path):
+    """The full continuous-pipeline loop: drain -> compact -> drain. The
+    compacted index must keep answering probes correctly and the second
+    drain's appends land in the compacted layout."""
+    from datascrapexter_spark.streaming.events import neardup_ingest_stream
+    import pyspark.sql.types as T
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("text", T.StringType())])
+    idx, out, ckpt = (str(tmp_path / p) for p in ("idx", "out", "ckpt"))
+
+    def drain(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(str(land))
+        q = neardup_ingest_stream(
+            spark.readStream.schema(schema).parquet(str(land)),
+            idx, out, ckpt, "doc_id", "text",
+            key_prefix_len=1, n_shingle_shards=4)
+        q.awaitTermination(120)
+
+    drain([(1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+           (2, "one two three four five six seven eight nine ten")])
+    dedup.compact_minhash_index(spark, idx)
+    drain([(10, "alpha beta gamma delta epsilon zeta eta theta iota"),  # dup of 1
+           (11, "north south east west upward downward leftward rightward")])
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 11]
+    dedup.compact_minhash_index(spark, idx)
+    drain([(20, "north south east west upward downward leftward rightward")])  # dup of 11
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 11]
