@@ -862,6 +862,10 @@ def best_representative_decisions(docs: DataFrame, pairs: DataFrame,
     majority) are kept by construction and never enter the window
     exchange, the same asymmetry connected_components exploits.
     """
+    # pairs feeds BOTH the component loop (eager checkpoint inside) and
+    # pair_nodes below — persist or the pair-producing plan (often a full
+    # minhash pass) executes twice (measured: q75 ~6 s of re-derivation)
+    pairs = pairs.persist()
     comp = connected_components(docs.select(id_col), pairs, id_col,
                                 a_col, b_col)
     pair_nodes = (pairs.select(F.col(a_col).alias(id_col))
