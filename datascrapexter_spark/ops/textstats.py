@@ -686,3 +686,50 @@ def readability_cols(text: Column | str) -> dict[str, Column]:
         "n_syllables": syllables,
         "flesch_milli": flesch.cast("long"),
     }
+
+
+def collocations(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", k: int = 20,
+                 min_count: int = 5) -> DataFrame:
+    """Top-k collocations (adjacent word pairs) by integer-exact lift —
+    lift_ppm = floor(1e6 * c_xy * N / (c_x * c_y)), the monotone
+    transform of PMI (log of lift/1e6), so the PMI ordering is exact
+    without a single float. Ties break on the bigram string.
+
+    Scale: one bigram groupBy + one unigram groupBy (both map-side
+    partial), the unigram table re-joined twice on the split words
+    (token-keyed, aggregate-width), N joined on a constant key (one row
+    -> BroadcastExchange, never a crossJoin), and the top-k ends in
+    orderBy+limit = TakeOrderedAndProject (per-task local top-k, driver
+    merge). BIGINT arithmetic holds to N * c_xy * 1e6 < 2^63 — beyond
+    that (multi-trillion-bigram corpora) switch the three factors to
+    DECIMAL(38,0); the expression shape is unchanged.
+
+    Returns (bigram, n_pair, lift_ppm) — k rows.
+    """
+    from .dedup import shingles_col, tokens_col
+
+    bi = (docs.select(F.explode(shingles_col(text_col, 2)).alias("bigram"))
+          .groupBy("bigram").agg(F.count(F.lit(1)).alias("n_pair"))
+          .filter(F.col("n_pair") >= min_count))
+    uni = (docs.select(F.explode(tokens_col(text_col)).alias("token"))
+           .filter(F.col("token") != "")
+           .groupBy("token").agg(F.count(F.lit(1)).alias("n_tok")))
+    total = (docs.select(F.explode(shingles_col(text_col, 2)).alias("b"))
+             .agg(F.count(F.lit(1)).alias("n_total"))
+             .withColumn("_k", F.lit(1)))
+    w = F.split("bigram", " ")
+    scored = (bi.withColumn("w1", w.getItem(0)).withColumn("w2", w.getItem(1))
+              .join(uni.select(F.col("token").alias("w1"),
+                               F.col("n_tok").alias("c1")), "w1")
+              .join(uni.select(F.col("token").alias("w2"),
+                               F.col("n_tok").alias("c2")), "w2")
+              .withColumn("_k", F.lit(1))
+              .join(F.broadcast(total), "_k"))
+    num = F.lit(1_000_000) * F.col("n_pair") * F.col("n_total")
+    den = F.col("c1") * F.col("c2")
+    lift = ((num - num % den) / den).cast("long")
+    return (scored.select("bigram", F.col("n_pair").cast("long")
+                          .alias("n_pair"), lift.alias("lift_ppm"))
+            .orderBy(F.col("lift_ppm").desc(), F.col("bigram").asc())
+            .limit(k))

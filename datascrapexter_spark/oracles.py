@@ -1268,6 +1268,40 @@ UNION ALL SELECT 'n_noisy', n_noisy FROM a
 """
 
 
+
+def _collocations_sql(k: int = 20, min_count: int = 5) -> str:
+    """q81: bigram/unigram counts + integer lift + deterministic top-k."""
+    return f"""
+WITH tok AS (
+  SELECT regexp_split_to_array(trim(text), '[ {{t}}{{n}}{{r}}]+') AS toks
+  FROM documents
+),
+bi AS (
+  SELECT unnest(list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+                               i -> array_to_string(toks[i:i+1], ' '))) AS bigram
+  FROM tok
+),
+bc AS (SELECT bigram, count(*)::BIGINT AS n_pair FROM bi
+       GROUP BY bigram HAVING count(*) >= {min_count}),
+uc AS (
+  SELECT u AS token, count(*)::BIGINT AS n_tok
+  FROM (SELECT unnest(toks) AS u FROM tok) WHERE u != '' GROUP BY u
+),
+nt AS (SELECT count(*)::BIGINT AS n_total FROM bi),
+s AS (
+  SELECT bc.bigram, bc.n_pair,
+         (1000000 * bc.n_pair * nt.n_total)
+           // (u1.n_tok * u2.n_tok) AS lift_ppm
+  FROM bc
+  CROSS JOIN nt
+  JOIN uc u1 ON u1.token = string_split(bc.bigram, ' ')[1]
+  JOIN uc u2 ON u2.token = string_split(bc.bigram, ' ')[2]
+)
+SELECT bigram, n_pair, lift_ppm::BIGINT AS lift_ppm
+FROM s ORDER BY lift_ppm DESC, bigram ASC LIMIT {k}
+""".replace("{t}", "\t").replace("{n}", "\n").replace("{r}", "\r")
+
+
 def _pagerank_sql(iters: int = 5, out_deg: int = 4) -> str:
     """CTE replay of ops.graphrank.pagerank_micro: same md5-derived edges,
     same integer recurrence (BIGINT micro-units, ``//`` floor division) —
@@ -1827,6 +1861,7 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q78_readability": _READABILITY_SQL,
     "q79_outline": _OUTLINE_SQL,
     "q80_corpus_report": _corpus_report_sql(),
+    "q81_collocations": _collocations_sql(20, 5),
     "q35_dedup_clusters": _dedup_clusters_sql(16, 4, 0.5),
     "q36_c4_line_filter": _C4_LINE_FILTER_SQL,
     "q37_stratified_split": _STRATIFIED_SPLIT_SQL,

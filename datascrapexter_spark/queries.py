@@ -1335,6 +1335,14 @@ def q80_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(base.unionByName(clone))
 
 
+def q81_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by integer-exact lift (the monotone PMI
+    transform): two groupBys + token-keyed rejoins + constant-key N join,
+    distributed top-k via orderBy+limit."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.collocations(docs, k=20, min_count=5)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1859,5 +1867,6 @@ QUERIES = {
     "q78_readability": q78_readability,
     "q79_outline": q79_outline,
     "q80_corpus_report": q80_corpus_report,
+    "q81_collocations": q81_collocations,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

@@ -153,3 +153,21 @@ def test_readability_hand_computed(spark):
     s = out[2]
     assert s["n_words"] == 1 and s["n_sentences"] == 1 and s["n_syllables"] == 1
     assert s["flesch_milli"] == 206835 - 1015 - 84600
+
+
+def test_collocations_hand_computed(spark):
+    """Integer lift on a tiny corpus + TakeOrderedAndProject top-k plan."""
+    from datascrapexter_spark.ops.textstats import collocations
+
+    # "new york" always adjacent (5x); "the city" 5x but 'the' appears 10x
+    rows = [(i, "the city has new york and the town") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = collocations(df, k=10, min_count=5)
+    got = {r["bigram"]: (r["n_pair"], r["lift_ppm"]) for r in out.collect()}
+    # counts: each doc has 7 bigrams -> N = 35; 'new'=5,'york'=5,
+    # 'new york'=5 -> lift = 1e6*5*35/(5*5) = 7_000_000
+    assert got["new york"] == (5, 7_000_000)
+    # 'the'=10,'city'=5,'the city'=5 -> 1e6*5*35/(10*5) = 3_500_000
+    assert got["the city"] == (5, 3_500_000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
