@@ -202,14 +202,26 @@ def main() -> None:
     fb["all_walls_s"] = [r["wall_s"] for r in fruns]
     fb["n_reps"] = n_reps
 
+    # Driver contract: stdout is ONE COMPACT JSON line (the round-4 artifact
+    # went null because queries_detail/walls outgrew the driver's capture
+    # window). Headline + per-query medians only on stdout; all walls /
+    # variance evidence go to BENCH_DETAIL.json next to this file.
     out = {
         "metric": "urls_scheduled_deduped_per_sec",
         "value": fb["urls_per_sec"],
         "unit": "sec",
         "queries": qtimes,
-        "queries_detail": qdetail,
         "sf": sf_val,
         "cpus": cpus,
+        "frontier": {k: fb[k] for k in ("urls_per_sec", "wall_s", "n_urls",
+                                        "n_scheduled", "n_reps")
+                     if k in fb},
+    }
+    detail = {
+        "sf": sf_val,
+        "cpus": cpus,
+        "n_reps": n_reps,
+        "queries_detail": qdetail,
         "frontier": fb,
     }
 
@@ -247,8 +259,16 @@ def main() -> None:
             "thr_n": thr_n,
             "thr_4n": thr_4n,
             "efficiency": round(thr_4n / (4.0 * thr_n), 3),
-            "runs": runs,
         }
+        detail["scaling_runs"] = runs
+
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
 
     print(json.dumps(out))
 

@@ -57,9 +57,10 @@ DEFAULT_N_BUCKETS = 1 << 15   # per shard; * 4 slots = 131072 entries/shard
 DEFAULT_SLOTS = 4
 MAX_KICKS = 500
 
-_MAGIC = 0x434B4631  # "CKF1"
+_MAGIC = 0x434B4632  # "CKF2" — v2: bucket1 decorrelated from shard bits
 _FP_SPREAD = np.uint64(0x5BD1E995)   # Murmur2 multiplier
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 golden-ratio constant
+_BUCKET_MIX = np.uint64(0xC2B2AE3D27D4EB4F)  # xxhash64 PRIME64_2
 
 
 def _fingerprints(hashes: np.ndarray) -> np.ndarray:
@@ -72,8 +73,16 @@ def _fingerprints(hashes: np.ndarray) -> np.ndarray:
 
 
 def _bucket1(hashes: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Primary bucket. Shard assignment is pmod(h, n_shards) — for a
+    power-of-two shard count that pins the hash's LOW bits per shard, so
+    the bucket index must NOT reuse them (v1's `h & mask` left only
+    n_buckets/n_shards reachable primary buckets per shard: 8-14% of
+    entries spilled to the stash at 75-90% load). Mix with a multiplier
+    DIFFERENT from the fingerprint's `_MIX` so bucket and fp stay
+    independent regardless of n_buckets."""
     h = np.asarray(hashes, dtype=np.int64).astype(np.uint64)
-    return (h & np.uint64(n_buckets - 1)).astype(np.uint32)
+    mixed = (h * _BUCKET_MIX) >> np.uint64(32)
+    return (mixed & np.uint64(n_buckets - 1)).astype(np.uint32)
 
 
 def _alt_bucket(bucket: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:

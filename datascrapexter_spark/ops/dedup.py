@@ -209,6 +209,11 @@ def minhash_signature(
     """
     ex = _cap_doc_freq(_exploded_shingles(df, id_col, text_col, n), id_col,
                        max_shingle_doc_freq)
+    return _signature_from_exploded(ex, id_col, num_hashes)
+
+
+def _signature_from_exploded(ex: DataFrame, id_col: str,
+                             num_hashes: int) -> DataFrame:
     aggs = [
         F.min(
             F.substring(
@@ -218,6 +223,31 @@ def minhash_signature(
         for s in range(num_hashes)
     ]
     return ex.groupBy(id_col).agg(*aggs)
+
+
+def _read_stop_shingles(spark, index_path: str) -> DataFrame | None:
+    """The stop-shingle set persisted by write_minhash_index(cap), or None
+    for an uncapped index. Existence via an explicit FS check (HDFS/S3A/
+    local), never inferred from a read failure — a transient read error
+    must not silently flip a capped probe to uncapped semantics."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{index_path}/stop_shingles")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    return spark.read.parquet(f"{index_path}/stop_shingles")
+
+
+def _corpus_stop_shingles(ex_corpus: DataFrame,
+                          max_doc_freq: int) -> DataFrame:
+    """Shingles occurring in more than `max_doc_freq` CORPUS docs — the
+    drop-set the asymmetric paths share. Persisting/reusing the DROP set
+    (few distinct high-doc-freq values) instead of the keep set (the whole
+    vocabulary) keeps it broadcastable at corpus scale."""
+    return (ex_corpus.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_doc_freq)
+            .select("shingle"))
 
 
 def _band_buckets(sig: DataFrame, id_col: str, num_hashes: int,
@@ -334,6 +364,15 @@ def minhash_batch_pairs(
     shingle Jaccard. Output (id_new, id_corpus, jaccard); within-batch
     duplicates are minhash_lsh_pairs' job, not this one's.
 
+    `max_shingle_doc_freq` is defined over CORPUS doc-frequency, and the
+    resulting stop-shingle set is dropped from BOTH sides' signatures —
+    a byte-identical (batch doc, corpus doc) pair always lands in the
+    same band buckets (round-5 advice fix: v1 capped only the corpus
+    side, so capped runs could miss exact duplicates). Batch-side
+    frequencies never influence the drop set, keeping the operator's
+    results independent of micro-batch boundaries and identical to the
+    persisted-index path built with the same cap.
+
     Scale: the corpus side is touched twice (signatures + verification
     arrays). For the never-rescan-the-corpus path use write_minhash_index
     + dedup_batch_indexed, which reads only the batch's bucket partitions
@@ -341,12 +380,18 @@ def minhash_batch_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
+    ex_c = _exploded_shingles(corpus, id_col, text_col, n)
+    ex_b = _exploded_shingles(batch, id_col, text_col, n)
+    if max_shingle_doc_freq is not None:
+        stop = _corpus_stop_shingles(ex_c, max_shingle_doc_freq)
+        ex_c = ex_c.join(stop, "shingle", "left_anti")
+        ex_b = ex_b.join(stop, "shingle", "left_anti")
     cb = _band_buckets(
-        minhash_signature(corpus, id_col, text_col, n, num_hashes,
-                          max_shingle_doc_freq), id_col, num_hashes, bands,
+        _signature_from_exploded(ex_c, id_col, num_hashes),
+        id_col, num_hashes, bands,
     ).select(F.col(id_col).alias("id_corpus"), "band", "key")
     bb = _band_buckets(
-        minhash_signature(batch, id_col, text_col, n, num_hashes),
+        _signature_from_exploded(ex_b, id_col, num_hashes),
         id_col, num_hashes, bands,
     ).select(F.col(id_col).alias("id_new"), "band", "key")
     cand = bb.join(cb, ["band", "key"]).select("id_new", "id_corpus").distinct()
@@ -401,7 +446,18 @@ def write_minhash_index(
     physical only. In production this is the Iceberg table a nightly
     compaction owns; new kept docs append to both (partition-local
     writes, no global rewrite).
+
+    When `max_shingle_doc_freq` is set, the corpus's stop-shingle DROP
+    set is persisted alongside at {path}/stop_shingles so probes
+    (dedup_batch_indexed) apply the SAME cap to batch signatures — the
+    probe contract ("results identical to the two-table operator") holds
+    for capped indexes too. A cap is a whole-corpus property, so it is
+    only valid with mode="overwrite"; appends inherit the existing set.
     """
+    if max_shingle_doc_freq is not None and mode != "overwrite":
+        raise ValueError(
+            "max_shingle_doc_freq requires mode='overwrite': the stop set "
+            "is a whole-corpus property; appends inherit the existing one")
     sig = minhash_signature(corpus, id_col, text_col, n, num_hashes,
                             max_shingle_doc_freq)
     bk = _band_buckets(sig, id_col, num_hashes, bands).select(
@@ -423,6 +479,11 @@ def write_minhash_index(
     (sh.repartition("shard")
      .write.mode(mode).partitionBy("shard")
      .parquet(f"{path}/shingles"))
+    if max_shingle_doc_freq is not None:
+        stop = _corpus_stop_shingles(
+            _exploded_shingles(corpus, id_col, text_col, n),
+            max_shingle_doc_freq)
+        stop.write.mode("overwrite").parquet(f"{path}/stop_shingles")
 
 
 def dedup_batch_indexed(
@@ -454,9 +515,18 @@ def dedup_batch_indexed(
     append that compact_minhash_index has not yet healed) emits the same
     pair once per copy — the probe does not pay a corpus-side distinct
     for the clean-index common case; run compaction between drains.
+
+    An index built with max_shingle_doc_freq carries its stop-shingle set
+    at {index_path}/stop_shingles; the probe detects it and drops the
+    same shingles from batch signatures, so capped and uncapped indexes
+    both keep the two-table-operator parity (round-5 advice fix).
     """
+    ex_b = _exploded_shingles(batch, id_col, text_col, n)
+    stop = _read_stop_shingles(spark, index_path)
+    if stop is not None:
+        ex_b = ex_b.join(stop, "shingle", "left_anti")
     bb = _band_buckets(
-        minhash_signature(batch, id_col, text_col, n, num_hashes),
+        _signature_from_exploded(ex_b, id_col, num_hashes),
         id_col, num_hashes, bands,
     ).select(F.col(id_col).alias("id_new"), "band", "key",
              F.substring("key", 1, key_prefix_len).alias("kp"))

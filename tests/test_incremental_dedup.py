@@ -250,3 +250,68 @@ def test_ingest_stream_with_compaction_between_drains(spark, tmp_path):
     drain([(20, "north south east west upward downward leftward rightward")])  # dup of 11
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [1, 2, 11]
+
+
+def test_capped_batch_pairs_catch_exact_duplicates(spark):
+    """Round-5 advice regression: with max_shingle_doc_freq set, v1 capped
+    only the corpus-side signatures, so a byte-identical batch copy could
+    band differently and be missed. The cap must be symmetric (corpus
+    doc-freq drop set applied to BOTH sides) and the capped index probe
+    must equal the capped two-table operator."""
+    # 'stop stop ...' shingles appear in every corpus doc -> df=4 > cap=2
+    common = "stop one stop two stop three stop four stop five"
+    corpus = spark.createDataFrame(
+        [(i, f"{common} corpusdoc{i} uniq{i}a uniq{i}b uniq{i}c uniq{i}d "
+              f"uniq{i}e uniq{i}f uniq{i}g uniq{i}h")
+         for i in range(1, 5)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(101, f"{common} corpusdoc2 uniq2a uniq2b uniq2c uniq2d "
+               "uniq2e uniq2f uniq2g uniq2h"),   # byte-identical to doc 2
+         (103, "entirely novel words that share nothing with the corpus "
+               "at all in any shingle")],
+        "doc_id long, text string")
+
+    got = _rows(dedup.minhash_batch_pairs(
+        corpus, batch, "doc_id", "text", n=3, num_hashes=16, bands=4,
+        threshold=0.5, max_shingle_doc_freq=2))
+    exact = dict(((a, b), j) for a, b, j in got)
+    assert (101, 2) in exact, "capped run missed an exact duplicate"
+    assert exact[(101, 2)] == 1.0   # verify stays uncapped-exact
+    assert all(a != 103 for a, _, _ in got)
+
+
+def test_capped_index_probe_matches_capped_two_table(spark, tmp_path):
+    common = "stop one stop two stop three stop four stop five"
+    corpus = spark.createDataFrame(
+        [(i, f"{common} corpusdoc{i} uniq{i}a uniq{i}b uniq{i}c uniq{i}d "
+              f"uniq{i}e uniq{i}f uniq{i}g uniq{i}h")
+         for i in range(1, 5)],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(101, f"{common} corpusdoc2 uniq2a uniq2b uniq2c uniq2d "
+               "uniq2e uniq2f uniq2g uniq2h"),
+         (102, f"{common} corpusdoc3 uniq3a uniq3b uniq3c uniq3d "
+               "uniq3e uniq3f uniq3g uniq3h extra tail words here now"),
+         (103, "entirely novel words that share nothing with the corpus "
+               "at all in any shingle")],
+        "doc_id long, text string")
+    idx = str(tmp_path / "capped_idx")
+    dedup.write_minhash_index(corpus, idx, "doc_id", "text",
+                              n=3, num_hashes=16, bands=4,
+                              max_shingle_doc_freq=2)
+    two_table = _rows(dedup.minhash_batch_pairs(
+        corpus, batch, "doc_id", "text", n=3, num_hashes=16, bands=4,
+        threshold=0.5, max_shingle_doc_freq=2))
+    indexed = _rows(dedup.dedup_batch_indexed(
+        spark, idx, batch, "doc_id", "text", n=3, num_hashes=16, bands=4,
+        threshold=0.5))
+    assert indexed == two_table
+    assert any(a == 101 for a, _, _ in indexed)
+
+
+def test_capped_index_append_refused(spark, tmp_path, corpus):
+    with pytest.raises(ValueError, match="overwrite"):
+        dedup.write_minhash_index(corpus, str(tmp_path / "x"), "doc_id",
+                                  "text", max_shingle_doc_freq=2,
+                                  mode="append")
