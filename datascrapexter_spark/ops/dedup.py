@@ -40,9 +40,13 @@ from pyspark.sql import functions as F
 
 
 def tokens_col(text: Column | str, pattern: str = "[ \\t\\n\\r]+") -> Column:
-    """Whitespace tokens of trimmed text (empty text -> empty array)."""
+    """Whitespace tokens of trimmed text (empty or whitespace-only text ->
+    empty array). Edge trimming uses the full whitespace class, not
+    F.trim (SQL TRIM strips spaces only, so a tab/newline-padded doc
+    would otherwise grow empty edge tokens and whitespace-only text
+    would count 2 tokens)."""
     c = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(c)
+    trimmed = F.regexp_replace(c, "^[ \\t\\n\\r]+|[ \\t\\n\\r]+$", "")
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, pattern)
     )
@@ -1246,9 +1250,11 @@ def repeated_span_dedup(df: DataFrame, id_col: str = "doc_id",
          row on id; the cleaned text is rebuilt per row with an array
          filter — document text itself never moves through any exchange.
 
-    Winner ordering key is ``id * 2^20 + pos`` (documented limit:
-    positions < 2^20 tokens per document), a single BIGINT an external
-    SQL oracle reproduces exactly.
+    Winner ordering key is the lexicographic pair (id, pos) via a struct
+    min — valid for ANY id value, including negative/full-range xxhash64-
+    derived BIGINT ids (the packed ``id * 2^20 + pos`` BIGINT of v1
+    silently overflowed/collided for |id| >= 2^43; round-5 advice fix).
+    An external SQL oracle replays it as min over a two-field struct.
 
     Returns (id, n_tokens, n_kept, text) — n_kept/text after removal;
     docs shorter than k tokens pass through untouched.
@@ -1265,8 +1271,7 @@ def repeated_span_dedup(df: DataFrame, id_col: str = "doc_id",
                "_id", "pos",
                F.md5(F.array_join(F.slice("_toks", F.col("pos") + 1, k),
                                   " ")).alias("h"))
-           .withColumn("wkey",
-                       F.col("_id") * F.lit(1 << 20) + F.col("pos")))
+           .withColumn("wkey", F.struct(F.col("_id"), F.col("pos"))))
     winners = (occ.groupBy("h")
                .agg(F.min("wkey").alias("wmin"),
                     F.count(F.lit(1)).alias("c"))

@@ -266,7 +266,11 @@ def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
 
     Windows start every `stride = max_tokens - overlap` tokens; the last
     window may be short; a doc with <= max_tokens tokens yields exactly
-    one chunk (itself). Deterministic integer arithmetic throughout:
+    one chunk (itself) — an empty/whitespace-only doc yields one EMPTY
+    chunk (n_chunk_tokens=0, chunk_text ''), following the repo-wide
+    empty->0-token contract (dedup.tokens_col; a raw split would count
+    the empty string as one token). Deterministic integer arithmetic
+    throughout:
     n_chunks = 1 + ceil(max(n_tokens - max_tokens, 0) / stride), chunk k
     covers tokens [1 + k*stride, ... + max_tokens). Pure codegen — the
     token array is materialized ONCE per doc and carried through a
@@ -277,8 +281,9 @@ def chunk_documents(df: DataFrame, max_tokens: int, overlap: int = 0,
     """
     if overlap >= max_tokens:
         raise ValueError("overlap must be < max_tokens")
+    from .dedup import tokens_col as _tokens
     stride = max_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), "[ \\t\\n\\r]+")
+    toks = _tokens(F.col(text_col))
     n = F.size(toks)
     over = F.greatest(n - F.lit(max_tokens), F.lit(0))
     n_chunks = (F.lit(1)

@@ -1055,7 +1055,9 @@ FROM a
 _DOC_CHUNKING_SQL = """
 WITH t AS (
   SELECT doc_id,
-         regexp_split_to_array(trim(text), '[ {t}{n}{r}]+') AS toks
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '[ {t}{n}{r}]+')
+         END AS toks
   FROM documents
 ),
 k AS (
@@ -1429,7 +1431,8 @@ FROM kept GROUP BY doc_id
 """
 
 
-# q69: fixed-12-token-window exact span dedup, winner = min(doc_id*2^20+pos),
+# q69: fixed-12-token-window exact span dedup, winner = lexicographic
+# min(doc_id, pos) via struct min (id-range safe: no packed-BIGINT overflow),
 # re-derived with list functions (window hashes, covered positions, rebuild).
 _REPEATED_SPANS_SQL = r"""
 WITH corpus AS (
@@ -1450,7 +1453,9 @@ WITH corpus AS (
              i -> md5(array_to_string(toks[i+1 : i+12], ' ')))) AS h
   FROM t
 ), occ AS (
-  SELECT doc_id, pos, h, doc_id * 1048576 + pos AS wkey FROM occ0
+  SELECT doc_id, pos, h,
+         struct_pack(i := doc_id, p := pos) AS wkey
+  FROM occ0
 ), w AS (
   SELECT h, min(wkey) AS wmin FROM occ GROUP BY h HAVING count(*) > 1
 ), dup AS (

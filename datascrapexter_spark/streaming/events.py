@@ -236,34 +236,43 @@ def neardup_ingest_stream(stream: DataFrame, index_path: str,
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
-        if batch_df.limit(1).count() == 0:
-            return
-        first_batch = not _index_exists(spark)
-        if first_batch:
-            fresh = batch_df
-        else:
-            pairs = _dedup.dedup_batch_indexed(
-                spark, index_path, batch_df, id_col, text_col,
-                n=n, num_hashes=num_hashes, bands=bands,
-                threshold=threshold, key_prefix_len=key_prefix_len,
-                n_shingle_shards=n_shingle_shards)
-            dup_ids = pairs.select(
-                F.col("id_new").alias(id_col)).distinct()
-            fresh = batch_df.join(dup_ids, id_col, "left_anti")
-        # within-batch near-dups: min-id wins (pairs come back id_a<id_b,
-        # so the id_b side loses)
-        intra = _dedup.minhash_lsh_pairs(
-            fresh, id_col, text_col, n=n, num_hashes=num_hashes,
-            bands=bands, threshold=threshold)
-        losers = intra.select(F.col("id_b").alias(id_col)).distinct()
-        novel = fresh.join(losers, id_col, "left_anti").persist()
-        novel.write.mode("append").parquet(out_path)
-        _dedup.write_minhash_index(
-            novel.select(id_col, text_col), index_path, id_col, text_col,
-            n=n, num_hashes=num_hashes, bands=bands,
-            key_prefix_len=key_prefix_len,
-            n_shingle_shards=n_shingle_shards,
-            mode="overwrite" if first_batch else "append")
+        novel = None
+        # unpersist in finally (including the empty-batch early return):
+        # a long-running stream would otherwise accumulate cached blocks
+        # every micro-batch until LRU pressure (round-5 advice fix)
+        try:
+            if batch_df.limit(1).count() == 0:
+                return
+            first_batch = not _index_exists(spark)
+            if first_batch:
+                fresh = batch_df
+            else:
+                pairs = _dedup.dedup_batch_indexed(
+                    spark, index_path, batch_df, id_col, text_col,
+                    n=n, num_hashes=num_hashes, bands=bands,
+                    threshold=threshold, key_prefix_len=key_prefix_len,
+                    n_shingle_shards=n_shingle_shards)
+                dup_ids = pairs.select(
+                    F.col("id_new").alias(id_col)).distinct()
+                fresh = batch_df.join(dup_ids, id_col, "left_anti")
+            # within-batch near-dups: min-id wins (pairs come back
+            # id_a<id_b, so the id_b side loses)
+            intra = _dedup.minhash_lsh_pairs(
+                fresh, id_col, text_col, n=n, num_hashes=num_hashes,
+                bands=bands, threshold=threshold)
+            losers = intra.select(F.col("id_b").alias(id_col)).distinct()
+            novel = fresh.join(losers, id_col, "left_anti").persist()
+            novel.write.mode("append").parquet(out_path)
+            _dedup.write_minhash_index(
+                novel.select(id_col, text_col), index_path, id_col,
+                text_col, n=n, num_hashes=num_hashes, bands=bands,
+                key_prefix_len=key_prefix_len,
+                n_shingle_shards=n_shingle_shards,
+                mode="overwrite" if first_batch else "append")
+        finally:
+            batch_df.unpersist()
+            if novel is not None:
+                novel.unpersist()
 
     writer = (stream.writeStream
               .foreachBatch(_process)

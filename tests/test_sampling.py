@@ -308,3 +308,22 @@ def test_chunk_documents_windows(spark):
     assert got[(1, 0)][1].split()[-2:] == got[(1, 1)][1].split()[:2]
     with _pytest.raises(ValueError):
         chunk_documents(df, max_tokens=4, overlap=4)
+
+
+def test_chunk_documents_empty_doc_reports_zero_tokens(spark):
+    """Round-5 advice regression: raw split() counted the empty string as
+    one token, so empty/whitespace docs reported n_chunk_tokens=1. They
+    must follow the repo-wide empty->0 contract: one empty chunk."""
+    from datascrapexter_spark.ops.sampling import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   \t \n "), (3, "one two three")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           chunk_documents(df, max_tokens=8, overlap=2).collect()}
+    assert len(got) == 3
+    for d in (1, 2):
+        assert got[d]["chunk_idx"] == 0
+        assert got[d]["n_chunk_tokens"] == 0
+        assert got[d]["chunk_text"] == ""
+    assert got[3]["n_chunk_tokens"] == 3

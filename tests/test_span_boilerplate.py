@@ -187,3 +187,26 @@ def test_oov_stats_exact_ppm(spark):
     assert out[2] == (2, 2, 1000000)
     assert out[3] == (1, 0, 0)
     assert out[4] == (0, 0, 0)   # empty doc: zero contract, row kept
+
+
+def test_span_dedup_winner_safe_for_full_range_ids(spark):
+    """Round-5 advice regression: v1 packed the winner key as
+    id * 2^20 + pos, which overflows/collides for |id| >= 2^43 —
+    exactly the xxhash64-derived ids used elsewhere in this repo. The
+    struct-min key must pick the smallest (id, pos) for ANY long id,
+    including negative ones."""
+    span = "a b c d e"
+    neg_id = -(1 << 62) + 17          # would have overflowed the packed key
+    big_id = (1 << 62) - 3
+    rows = [
+        (big_id, f"{span} tail1 tail2 tail3"),
+        (neg_id, f"lead1 lead2 {span} tail4"),   # smallest id -> winner
+        (5, f"{span} other words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.repeated_span_dedup(df, k=5).collect()}
+    # winner: neg_id keeps its copy; both other docs lose the span
+    assert out[neg_id]["text"] == f"lead1 lead2 {span} tail4"
+    assert out[big_id]["text"] == "tail1 tail2 tail3"
+    assert out[5]["text"] == "other words here"
