@@ -849,10 +849,17 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     size. Labels and the static symmetric edge set are
     localCheckpoint'ed: the loop would otherwise double the lineage
     every round and re-execute the whole pair pipeline per iteration.
-    (For adversarially deep graphs — long chains — swap the propagation
-    for large-star/small-star [Kiveris et al., "Connected Components in
-    MapReduce and Beyond"], same contract; duplicate clusters never need
-    it.) Deterministic: min over longs.
+    Deterministic: min over longs.
+
+    Adversarially deep graphs (a near-dup CHAIN longer than `max_iters`,
+    e.g. scraped serial content where page k pairs only with page k+1)
+    no longer abort: when propagation hits the iteration cap the loop
+    hands the SAME edge set to large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond"), which converges in
+    O(log^2 n) rounds independent of diameter and produces the identical
+    min-id labels. Propagation stays the default because shallow LSH
+    cluster graphs converge in 2-4 cheap rounds — the star rounds
+    shuffle twice per iteration.
 
     Scale: the loop runs over PAIR-GRAPH nodes only. Isolated documents
     (no near-dup pair — the overwhelming majority of a web corpus) are
@@ -891,18 +898,96 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
         n_changed = upd.filter(F.col("new_label") != F.col("label")).count()
         labels = upd.select("node", F.col("new_label").alias("label"))
         if n_changed == 0:
-            # isolated nodes self-label via one left join (pair-node
-            # labels are pair-bounded — far smaller than the corpus)
-            return (
-                nodes.select(F.col(id_col).alias("node")).distinct()
-                .join(labels, "node", "left")
-                .select(
-                    F.col("node").alias(id_col),
-                    F.coalesce("label", F.col("node")).alias("cluster_id"))
-            )
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} rounds "
-        f"(graph diameter exceeds the cap — use the star variant)")
+            return _attach_labels(nodes, labels, id_col)
+    # diameter exceeds the cap: finish with the diameter-independent
+    # star algorithm on the same (already checkpointed) edge set
+    return _attach_labels(nodes, _star_labels(edges), id_col)
+
+
+def _attach_labels(nodes: DataFrame, labels: DataFrame,
+                   id_col: str) -> DataFrame:
+    """Isolated nodes self-label via one left join (pair-node labels are
+    pair-bounded — far smaller than the corpus)."""
+    return (
+        nodes.select(F.col(id_col).alias("node")).distinct()
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("label", F.col("node")).alias("cluster_id"))
+    )
+
+
+def _star_labels(edges: DataFrame, max_iters: int = 100) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014)
+    over a symmetric, distinct (src, dst) edge set -> (node, label) with
+    label = min node id of the component, for PAIRED nodes only.
+
+    Each round is two shuffle pairs (a groupBy min + a keyed join per
+    star op); the edge set contracts toward stars rooted at component
+    minima in O(log^2 n) rounds regardless of diameter — the fallback
+    for chain-shaped near-dup graphs where min-label propagation would
+    need O(diameter) rounds. Convergence is detected by an aggregate
+    (count, hash-sum) fingerprint of the oriented edge set: one cheap
+    action per round instead of a full except() comparison.
+    """
+    # orient large -> small; self-loops never help and are dropped
+    e = (edges.filter(F.col("src") != F.col("dst"))
+         .select(F.greatest("src", "dst").alias("u"),
+                 F.least("src", "dst").alias("v"))
+         .distinct()
+         .localCheckpoint(eager=True))
+
+    def _fingerprint(d: DataFrame):
+        row = d.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: a long sum of xxhash64 values overflows
+            # under ANSI arithmetic
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    fp = _fingerprint(e)
+    for _ in range(max_iters):
+        # large-star: m(u) = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u),
+        # v > u — strictly-larger neighbors re-hang on the local minimum
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (sym.join(mins, "u")
+                 .filter(F.col("v") > F.col("u"))
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .distinct())
+        # small-star on the large->small orientation: m(u) = min(N(u))
+        # (< u by orientation); re-hang u and its other small neighbors
+        # on m
+        d = (large.filter(F.col("u") != F.col("v"))
+             .select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+             .distinct())
+        smins = d.groupBy("u").agg(F.min("v").alias("m"))
+        small = (d.join(smins, "u")
+                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                 .filter(F.col("u") != F.col("v"))
+                 .unionByName(smins.select("u", F.col("m").alias("v")))
+                 .distinct()
+                 .localCheckpoint(eager=True))
+        new_fp = _fingerprint(small)
+        e = small
+        if new_fp == fp:
+            break
+        fp = new_fp
+    else:
+        raise RuntimeError(
+            f"star connected components did not converge in {max_iters} "
+            f"rounds — not reachable for any finite graph this size")
+    # converged: e is a star forest (child -> component min); roots
+    # self-label
+    children = e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    roots = (e.select(F.col("v").alias("node")).distinct()
+             .join(children.select("node"), "node", "left_anti")
+             .withColumn("label", F.col("node")))
+    return children.unionByName(roots)
 
 
 def dedup_representatives(docs: DataFrame, pairs: DataFrame,

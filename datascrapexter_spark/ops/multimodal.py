@@ -5,11 +5,15 @@ metadata struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas functions over `mapInPandas` so one Python call
 handles a whole batch and the binary column never round-trips per row.
 
-The sandbox has no image/audio codecs, so the *codec* step is stubbed:
-`decode_image` raises NotImplementedError unless `fake=True`, in which
-case a clearly-marked deterministic fake derives metadata purely from the
-byte content (so tests and SQL oracles can verify the plumbing exactly).
-The Spark-side contract — schema, batch shape, partitioning — is real.
+The *codec* step is a pluggable seam (the html/backends.py pattern):
+Pillow registers itself when importable, deployments can
+`register_codec()` their own (libvips/ffmpeg), and `DSX_IMAGE_CODEC`
+pins one explicitly (error if missing — never a silent fallback). This
+sandbox ships no codec, so decode refuses unless the clearly-marked
+deterministic fake is requested (`fake=True` / codec="fake"), which
+derives metadata purely from the byte content so tests and SQL oracles
+can verify the plumbing exactly. The Spark-side contract — schema,
+batch shape, partitioning — is real either way.
 
 Scale notes: binary payloads dominate bytes; the mapInPandas pass keeps
 `spark.sql.execution.arrow.maxRecordsPerBatch` sized so a batch of blobs
@@ -62,21 +66,90 @@ def _fake_decode_meta(blob: bytes) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
-def decode_image(blob: bytes) -> bytes:
-    """Real codec entry point — NOT available in this sandbox."""
+# -- codec seam (the html/backends.py pattern applied to image decode) ----
+#
+# Selection order: explicit `codec=` > env DSX_IMAGE_CODEC (error if the
+# named codec is unavailable — a silent fallback would hide a missing
+# codec wheel in production) > the best importable real codec. The
+# deterministic fake is ONLY used when explicitly requested (codec="fake"
+# or fake=True); with no real codec importable and none requested, decode
+# refuses rather than silently downgrading.
+
+DecodeFn = "Callable[[bytes], tuple[int, int, int]]"
+_CODEC_REGISTRY: dict = {}
+_CODEC_PREFERENCE = ("pillow",)
+_CODEC_ENV = "DSX_IMAGE_CODEC"
+
+
+def register_codec(name: str, fn) -> None:
+    """Register a (blob) -> (width, height, n_frames) decoder — also the
+    hook for deployments shipping libvips/ffmpeg bindings."""
+    _CODEC_REGISTRY[name] = fn
+
+
+def _pillow_codec():
+    try:
+        from PIL import Image  # type: ignore
+    except ImportError:
+        return None
+    import io
+
+    def decode(blob: bytes) -> tuple[int, int, int]:
+        with Image.open(io.BytesIO(blob)) as img:
+            return (int(img.width), int(img.height),
+                    int(getattr(img, "n_frames", 1)))
+
+    return decode
+
+
+_pil = _pillow_codec()
+if _pil is not None:
+    register_codec("pillow", _pil)
+register_codec("fake", _fake_decode_meta)
+
+
+def available_codecs() -> list[str]:
+    return [n for n in _CODEC_PREFERENCE if n in _CODEC_REGISTRY] + sorted(
+        n for n in _CODEC_REGISTRY if n not in _CODEC_PREFERENCE)
+
+
+def select_codec(name: str | None = None) -> str:
+    """Resolve the active image codec (see module comment for order)."""
+    import os
+
+    name = name or os.environ.get(_CODEC_ENV)
+    if name:
+        if name not in _CODEC_REGISTRY:
+            raise ValueError(
+                f"image codec {name!r} not available; have "
+                f"{available_codecs()}")
+        return name
+    for cand in _CODEC_PREFERENCE:
+        if cand in _CODEC_REGISTRY:
+            return cand
     raise NotImplementedError(
-        "image decode requires a codec library (PIL/libvips); "
-        "use decode_media_df(..., fake=True) for plumbing tests"
-    )
+        "no real image codec importable (install Pillow or "
+        "register_codec(...)); pass codec='fake' explicitly for "
+        "deterministic plumbing tests — decode never falls back silently")
+
+
+def decode_image(blob: bytes) -> tuple[int, int, int]:
+    """Decode one payload with the selected real codec -> (width, height,
+    n_frames). Raises NotImplementedError when no real codec is
+    importable (this sandbox ships none)."""
+    return _CODEC_REGISTRY[select_codec()](blob)
 
 
 def decode_media_df(df: DataFrame, payload_col: str = "payload",
-                    fake: bool = False) -> DataFrame:
+                    fake: bool = False,
+                    codec: str | None = None) -> DataFrame:
     """Fill the media metadata struct by decoding each payload.
 
     One mapInPandas pass; output schema = input columns (minus payload)
-    + flattened metadata. With fake=False this calls the real codec
-    (NotImplementedError in the sandbox)."""
+    + flattened metadata. `codec` picks a registered decoder (env
+    DSX_IMAGE_CODEC honored, error if missing); `fake=True` is shorthand
+    for codec="fake". With neither and no real codec importable, the
+    codec resolution itself raises — plan-build time, not mid-job."""
     out_fields = [f for f in df.schema.fields if f.name != payload_col]
     out_schema = T.StructType(
         out_fields
@@ -88,16 +161,20 @@ def decode_media_df(df: DataFrame, payload_col: str = "payload",
         ]
     )
     keep = [f.name for f in out_fields]
+    # resolve at plan-build time so a missing codec fails fast on the
+    # driver, and ship only the codec NAME into the closure (executors
+    # re-resolve from their own registry — decoder objects may not
+    # pickle)
+    codec_name = "fake" if fake else select_codec(codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _CODEC_REGISTRY[codec_name]
         for pdf in batches:
             blobs = pdf[payload_col]
             metas = []
             for b in blobs:
                 raw = bytes(b) if b is not None else b""
-                if not fake:
-                    decode_image(raw)  # raises: no codecs in sandbox
-                metas.append((len(raw), *_fake_decode_meta(raw)))
+                metas.append((len(raw), *decode(raw)))
             out = pdf[keep].copy()
             out["byte_len"] = [m[0] for m in metas]
             out["width"] = [m[1] for m in metas]

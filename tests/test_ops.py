@@ -310,11 +310,37 @@ def test_multimodal_fake_decode_and_frames(spark):
     assert n1 == (rows[1]["n_frames"] + 1) // 2
 
 
-def test_multimodal_real_codec_is_stubbed(spark):
+def test_multimodal_real_codec_refused_at_plan_build(spark):
     df = spark.createDataFrame([(1, b"img")], "id long, payload binary")
-    with pytest.raises(Exception):
-        # the real-codec path must loudly fail in this sandbox, not fake it
-        multimodal.decode_media_df(df, "payload", fake=False).collect()
+    # sandbox ships no Pillow: resolution must refuse on the DRIVER at
+    # plan-build time, never silently downgrade to the fake
+    assert "pillow" not in multimodal.available_codecs()
+    with pytest.raises(NotImplementedError, match="fake"):
+        multimodal.decode_media_df(df, "payload", fake=False)
+
+
+def test_multimodal_codec_seam_contract(spark, monkeypatch):
+    """Mirror of test_html_backends for the image-codec seam: env pin
+    errors on a missing codec; a registered codec is selected by
+    preference and runs inside the mapInPandas pass."""
+    df = spark.createDataFrame([(1, b"abcd")], "id long, payload binary")
+    monkeypatch.setenv("DSX_IMAGE_CODEC", "libvips-not-installed")
+    with pytest.raises(ValueError, match="not available"):
+        multimodal.decode_media_df(df, "payload")
+    monkeypatch.delenv("DSX_IMAGE_CODEC")
+
+    multimodal.register_codec("pillow", lambda blob: (len(blob) * 10,
+                                                      len(blob) * 20, 2))
+    try:
+        assert multimodal.select_codec() == "pillow"
+        row = multimodal.decode_media_df(df, "payload").collect()[0]
+        assert (row["width"], row["height"], row["n_frames"]) == (40, 80, 2)
+        # explicit fake still wins over an importable real codec
+        row = multimodal.decode_media_df(df, "payload",
+                                         fake=True).collect()[0]
+        assert row["width"] == 64 + (4 % 577)
+    finally:
+        multimodal._CODEC_REGISTRY.pop("pillow", None)
 
 
 def test_attach_media_column(spark):
@@ -541,9 +567,37 @@ def test_connected_components_deterministic_and_caps(spark):
     a = sorted(map(tuple, dedup.connected_components(nodes, pairs).collect()))
     b = sorted(map(tuple, dedup.connected_components(nodes, pairs).collect()))
     assert a == b == [(i, 0) for i in range(6)]
-    import pytest as _pt
-    with _pt.raises(RuntimeError, match="did not converge"):
-        dedup.connected_components(nodes, pairs, max_iters=1)
+    # hitting the iteration cap no longer aborts: the star fallback
+    # finishes with identical labels
+    c = sorted(map(tuple, dedup.connected_components(
+        nodes, pairs, max_iters=1).collect()))
+    assert c == a
+
+
+def test_connected_components_star_fallback_deep_chain(spark):
+    """Round-5 verdict item: a near-dup chain deeper than max_iters
+    (scraped serial content) must converge via large-star/small-star
+    with labels identical to propagation, not raise."""
+    n = 120
+    nodes = spark.createDataFrame([(i,) for i in range(n + 10)],
+                                  "doc_id long")
+    # one path graph of diameter n-1, shuffled ids so the min sits
+    # mid-chain; plus a pair and an isolate
+    perm = [(i * 37) % n + 10 for i in range(n)]    # ids 10..129 permuted
+    chain = [(perm[i], perm[i + 1]) for i in range(n - 1)]
+    pairs = spark.createDataFrame(
+        chain + [(3, 5)], "id_a long, id_b long")
+    slow = {r["doc_id"]: r["cluster_id"] for r in
+            dedup.connected_components(nodes, pairs,
+                                       max_iters=500).collect()}
+    fast = {r["doc_id"]: r["cluster_id"] for r in
+            dedup.connected_components(nodes, pairs,
+                                       max_iters=3).collect()}
+    assert fast == slow
+    assert fast[3] == 3 and fast[5] == 3
+    assert all(fast[i] == 10 for i in perm)         # min chain id is 10
+    # nodes outside the pair graph self-label
+    assert fast[0] == 0 and fast[1] == 1 and fast[2] == 2
 
 
 def test_paragraph_dedup_keep_first_and_reassembly(spark):

@@ -50,11 +50,61 @@ def test_parquet_sink_partition_by(spark, df, tmp_path):
     assert back.count() == 2
 
 
-def test_yaml_sink_driver_side(spark, df, tmp_path):
+def test_yaml_sink_executor_rendered(spark, df, tmp_path):
     path = str(tmp_path / "out.yaml")
     write_output(df, "yaml", path)
     text = open(path).read()
-    assert "id" in text and "name" in text
+    import yaml
+
+    assert yaml.safe_load(text) == [{"id": 1, "name": "a"},
+                                    {"id": 2, "name": "b"}]
+
+
+def test_yaml_sink_nested_and_tricky_values(spark, tmp_path):
+    """Block-style YAML must survive the ambiguity traps a plain-scalar
+    dump falls into (colons, 'yes', numeric strings, nesting, nulls)."""
+    rows = [(1, "a: b", "yes", ["x", "nested: colon"],
+             {"k": "v", "deep": ["1", "2"]}, None),
+            (2, "-lead", "007", [], {}, 3.5)]
+    df = spark.createDataFrame(
+        rows, "id long, s1 string, s2 string, arr array<string>, "
+              "m struct<k:string, deep:array<string>>, score double")
+    path = str(tmp_path / "nested.yaml")
+    from datascrapexter_spark.sources.sinks import write_yaml
+
+    assert write_yaml(df, path) == 2
+    import yaml
+
+    got = sorted(yaml.safe_load(open(path).read()), key=lambda r: r["id"])
+    assert got[0]["s1"] == "a: b" and got[0]["s2"] == "yes"
+    assert got[0]["arr"] == ["x", "nested: colon"]
+    assert got[0]["m"] == {"k": "v", "deep": ["1", "2"]}
+    assert got[0]["score"] is None
+    assert got[1]["s2"] == "007" and got[1]["arr"] == []
+    assert got[1]["score"] == 3.5
+
+
+def test_yaml_sink_empty_frame(spark, tmp_path):
+    df = spark.createDataFrame([], "id long, name string")
+    path = str(tmp_path / "empty.yaml")
+    from datascrapexter_spark.sources.sinks import write_yaml
+
+    assert write_yaml(df, path) == 0
+    import yaml
+
+    assert yaml.safe_load(open(path).read()) == []
+
+
+def test_yaml_sink_no_driver_collect():
+    """The whole-file YAML path must stream executor-rendered fragments,
+    never collect() rows (round-5 verdict item #5)."""
+    import inspect
+
+    from datascrapexter_spark.sources import sinks
+
+    src = inspect.getsource(sinks.write_yaml) + inspect.getsource(
+        sinks.yaml_fragments_df)
+    assert ".collect()" not in src and "toJSON()" not in src
 
 
 def test_json_array_byte_parity(spark, df):
