@@ -430,6 +430,7 @@ def write_minhash_index(
     n_shingle_shards: int = 16,
     max_shingle_doc_freq: int | None = None,
     mode: str = "overwrite",
+    epoch: str | None = None,
 ) -> None:
     """Persist the corpus's dedup identity in a probe-prunable at-rest
     layout, so each new crawl batch dedupes against 100 TB of kept docs
@@ -457,32 +458,56 @@ def write_minhash_index(
     probe contract ("results identical to the two-table operator") holds
     for capped indexes too. A cap is a whole-corpus property, so it is
     only valid with mode="overwrite"; appends inherit the existing set.
+
+    `epoch` is the streaming path's exactly-once key: rows land under an
+    epoch=<id> partition written with DYNAMIC partition overwrite, so a
+    replayed micro-batch (foreachBatch is at-least-once under restarts)
+    REWRITES its own epoch partitions instead of appending a second
+    copy — the index never holds duplicate identity rows, even before
+    compaction. `mode` is ignored with epoch (the write is always an
+    idempotent per-epoch overwrite); epoch values must be unique per
+    logical batch (neardup_ingest_stream derives them from the
+    checkpoint dir + batch_id).
     """
     if max_shingle_doc_freq is not None and mode != "overwrite":
         raise ValueError(
             "max_shingle_doc_freq requires mode='overwrite': the stop set "
             "is a whole-corpus property; appends inherit the existing one")
+    if epoch is not None and max_shingle_doc_freq is not None:
+        raise ValueError("epoch appends cannot (re)define the corpus-wide "
+                         "stop-shingle set; build the base index with the "
+                         "cap first")
     sig = minhash_signature(corpus, id_col, text_col, n, num_hashes,
                             max_shingle_doc_freq)
     bk = _band_buckets(sig, id_col, num_hashes, bands).select(
         F.col(id_col).alias("cid"), "key", "band",
         F.substring("key", 1, key_prefix_len).alias("kp"),
     )
-    # repartition on the partition keys: every writer task owns whole
-    # cells, so a write emits one file per (band, kp) instead of
-    # n_tasks x n_cells small files (and at corpus scale the shuffle is
-    # the keyed exchange the layout needs anyway)
-    (bk.repartition("band", "kp")
-     .write.mode(mode).partitionBy("band", "kp")
-     .parquet(f"{path}/buckets"))
     sh = corpus.select(
         F.col(id_col).alias("cid"),
         F.array_distinct(shingles_col(text_col, n)).alias("sh"),
         F.pmod(F.xxhash64(id_col), F.lit(n_shingle_shards)).alias("shard"),
     )
-    (sh.repartition("shard")
-     .write.mode(mode).partitionBy("shard")
-     .parquet(f"{path}/shingles"))
+
+    def _write(df: DataFrame, table: str, part_cols: list[str]) -> None:
+        # repartition on the partition keys: every writer task owns whole
+        # cells, so a write emits one file per cell instead of
+        # n_tasks x n_cells small files (and at corpus scale the shuffle
+        # is the keyed exchange the layout needs anyway)
+        if epoch is not None:
+            df = df.withColumn("epoch", F.lit(epoch))
+            (df.repartition(*part_cols)
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy(*part_cols, "epoch")
+             .parquet(f"{path}/{table}"))
+        else:
+            (df.repartition(*part_cols)
+             .write.mode(mode).partitionBy(*part_cols)
+             .parquet(f"{path}/{table}"))
+
+    _write(bk, "buckets", ["band", "kp"])
+    _write(sh, "shingles", ["shard"])
     if max_shingle_doc_freq is not None:
         stop = _corpus_stop_shingles(
             _exploded_shingles(corpus, id_col, text_col, n),
@@ -502,6 +527,7 @@ def dedup_batch_indexed(
     threshold: float = 0.5,
     key_prefix_len: int = 2,
     n_shingle_shards: int = 16,
+    exclude_epoch: str | None = None,
 ) -> DataFrame:
     """minhash_batch_pairs against a write_minhash_index layout: results
     identical to the two-table operator on the same corpus (tested), but
@@ -524,6 +550,14 @@ def dedup_batch_indexed(
     at {index_path}/stop_shingles; the probe detects it and drops the
     same shingles from batch signatures, so capped and uncapped indexes
     both keep the two-table-operator parity (round-5 advice fix).
+
+    `exclude_epoch` skips index rows written under that epoch partition —
+    a REPLAYED micro-batch (restart mid-batch) may have partially written
+    its own epoch before crashing, and probing against those rows would
+    make the batch's docs look like duplicates of themselves; excluding
+    the in-flight epoch makes the replay see exactly the pre-batch index
+    state, so the replayed decisions are identical. A no-op on indexes
+    without an epoch column (pure-batch layouts).
     """
     ex_b = _exploded_shingles(batch, id_col, text_col, n)
     stop = _read_stop_shingles(spark, index_path)
@@ -552,9 +586,10 @@ def dedup_batch_indexed(
         cell_filter = clause if cell_filter is None else cell_filter | clause
     if cell_filter is None:  # empty batch
         return spark.createDataFrame([], empty_schema)
-    idx = (spark.read.parquet(f"{index_path}/buckets")
-           .filter(cell_filter)  # -> PartitionFilters
-           .select(F.col("cid").alias("id_corpus"), "band", "key"))
+    idx = spark.read.parquet(f"{index_path}/buckets").filter(cell_filter)
+    if exclude_epoch is not None and "epoch" in idx.columns:
+        idx = idx.filter(F.col("epoch") != exclude_epoch)  # partition-pruned
+    idx = idx.select(F.col("cid").alias("id_corpus"), "band", "key")
     cand = (bb.join(idx, ["band", "key"])
             .select("id_new", "id_corpus").distinct().persist())
     shards = [r["shard"] for r in cand.select(
@@ -563,9 +598,11 @@ def dedup_batch_indexed(
     if not shards:
         return spark.createDataFrame([], empty_schema)
     sh_c = (spark.read.parquet(f"{index_path}/shingles")
-            .filter(F.col("shard").isin(shards))  # -> PartitionFilters
-            .select(F.col("cid").alias("id_corpus"),
-                    F.col("sh").alias("sh_c")))
+            .filter(F.col("shard").isin(shards)))  # -> PartitionFilters
+    if exclude_epoch is not None and "epoch" in sh_c.columns:
+        sh_c = sh_c.filter(F.col("epoch") != exclude_epoch)
+    sh_c = sh_c.select(F.col("cid").alias("id_corpus"),
+                       F.col("sh").alias("sh_c"))
     sh_b = batch.select(
         F.col(id_col).alias("id_new"),
         F.array_distinct(shingles_col(text_col, n)).alias("sh_b"),
@@ -586,9 +623,12 @@ def compact_minhash_index(spark, path: str) -> None:
     table to one file per partition cell and drop duplicate identity rows.
 
     The append path (dedup_batch_indexed consumers, neardup_ingest_stream)
-    accumulates one small file per micro-batch per touched cell, and its
-    at-least-once contract can re-append the same doc after a mid-batch
-    restart. Compaction fixes both: dedup on the logical identity
+    accumulates one small file per micro-batch per touched cell; epoch
+    partitions accumulate one directory level per batch (replays rewrite
+    their own epoch — exactly-once — but committed epochs pile up), and a
+    non-streaming consumer appending without epochs can still double rows
+    after a crash. Compaction fixes all of it: dedup on the logical
+    identity
     (buckets: (cid, band, key); shingles: cid — every copy carries the
     identical array by construction), repartition on the partition keys so
     each cell lands in ONE file, then an FS-level swap (write aside →
@@ -604,6 +644,14 @@ def compact_minhash_index(spark, path: str) -> None:
         tmp = f"{path}/{table}.compact"
         old = f"{path}/{table}.old"
         df = spark.read.parquet(cur).dropDuplicates(dedup_cols)
+        # normalize to the epoch-partitioned layout: fold every epoch
+        # into the 'base' sentinel so dir/file counts stay O(cells), not
+        # O(batches) — and legacy 2-level layouts gain the epoch level,
+        # making any compacted index streaming-appendable. 'base' never
+        # collides with a replayable epoch: compaction runs between
+        # drains, when every batch is committed.
+        df = df.withColumn("epoch", F.lit("base"))
+        part_cols = part_cols + ["epoch"]
         (df.repartition(*part_cols)
          .write.mode("overwrite").partitionBy(*part_cols).parquet(tmp))
         fs = HPath(cur).getFileSystem(hconf)

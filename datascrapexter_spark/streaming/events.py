@@ -218,11 +218,49 @@ def neardup_ingest_stream(stream: DataFrame, index_path: str,
     a near-dup pair survives depends on micro-batch boundaries — earlier
     batch wins, min-id wins within a batch. The global reproducible pass
     stays with the batch operators over the compacted corpus.
-    foreachBatch side effects are at-least-once under retries; `out_path`
-    consumers should exact-dedup on id (cheap) if the job is restarted
-    mid-batch.
+
+    Exactly-once hardening (round-5 verdict item #8): every side effect
+    of a micro-batch lands under an epoch partition keyed by
+    (checkpoint dir, batch_id) and written with DYNAMIC partition
+    overwrite, and the probe excludes the in-flight epoch. A restart
+    mid-batch therefore (1) sees exactly the pre-batch index state —
+    partially-written rows of its own epoch are skipped, so the replayed
+    decisions are identical — and (2) REWRITES its epoch partitions
+    instead of appending a second copy. No duplicate identity rows, even
+    before compaction. The epoch is checkpoint-scoped (crc32 of the
+    checkpoint dir) so a NEW stream over an existing index can never
+    clobber an old stream's batch-0 partitions.
     """
+    proc = make_neardup_processor(
+        index_path, out_path, checkpoint_dir, id_col, text_col, n=n,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+        key_prefix_len=key_prefix_len, n_shingle_shards=n_shingle_shards)
+    writer = (stream.writeStream
+              .foreachBatch(proc)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def make_neardup_processor(index_path: str, out_path: str,
+                           checkpoint_dir: str,
+                           id_col: str = "doc_id",
+                           text_col: str = "text", *,
+                           n: int = 3, num_hashes: int = 16,
+                           bands: int = 4, threshold: float = 0.5,
+                           key_prefix_len: int = 2,
+                           n_shingle_shards: int = 16):
+    """The foreachBatch body of neardup_ingest_stream, exposed so the
+    exactly-once contract is testable: calling the processor twice with
+    the same batch_id simulates Structured Streaming's replay of an
+    uncommitted batch (foreachBatch re-runs with the SAME batch_id after
+    a restart)."""
+    import zlib
+
     from ..ops import dedup as _dedup
+
+    ck_tag = f"{zlib.crc32(checkpoint_dir.encode('utf-8')):08x}"
 
     def _index_exists(spark) -> bool:
         # explicit FS check (works on HDFS/S3A/local) — NEVER inferred
@@ -235,6 +273,13 @@ def neardup_ingest_stream(stream: DataFrame, index_path: str,
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        epoch = f"{ck_tag}-{batch_id}"
+        if (_index_exists(spark) and "epoch" not in
+                spark.read.parquet(f"{index_path}/buckets").columns):
+            raise ValueError(
+                "existing index uses the legacy non-epoch layout; run "
+                "compact_minhash_index(path) once to migrate it before "
+                "streaming appends (mixed layouts are unreadable)")
         batch_df = batch_df.persist()
         novel = None
         # unpersist in finally (including the empty-batch early return):
@@ -243,18 +288,18 @@ def neardup_ingest_stream(stream: DataFrame, index_path: str,
         try:
             if batch_df.limit(1).count() == 0:
                 return
-            first_batch = not _index_exists(spark)
-            if first_batch:
-                fresh = batch_df
-            else:
+            if _index_exists(spark):
                 pairs = _dedup.dedup_batch_indexed(
                     spark, index_path, batch_df, id_col, text_col,
                     n=n, num_hashes=num_hashes, bands=bands,
                     threshold=threshold, key_prefix_len=key_prefix_len,
-                    n_shingle_shards=n_shingle_shards)
+                    n_shingle_shards=n_shingle_shards,
+                    exclude_epoch=epoch)
                 dup_ids = pairs.select(
                     F.col("id_new").alias(id_col)).distinct()
                 fresh = batch_df.join(dup_ids, id_col, "left_anti")
+            else:
+                fresh = batch_df
             # within-batch near-dups: min-id wins (pairs come back
             # id_a<id_b, so the id_b side loses)
             intra = _dedup.minhash_lsh_pairs(
@@ -262,21 +307,21 @@ def neardup_ingest_stream(stream: DataFrame, index_path: str,
                 bands=bands, threshold=threshold)
             losers = intra.select(F.col("id_b").alias(id_col)).distinct()
             novel = fresh.join(losers, id_col, "left_anti").persist()
-            novel.write.mode("append").parquet(out_path)
+            # kept docs: same idempotent per-epoch dynamic overwrite as
+            # the index — a replay rewrites epoch=<id>, never doubles it
+            (novel.withColumn("epoch", F.lit(epoch))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("epoch").parquet(out_path))
             _dedup.write_minhash_index(
                 novel.select(id_col, text_col), index_path, id_col,
                 text_col, n=n, num_hashes=num_hashes, bands=bands,
                 key_prefix_len=key_prefix_len,
                 n_shingle_shards=n_shingle_shards,
-                mode="overwrite" if first_batch else "append")
+                epoch=epoch)
         finally:
             batch_df.unpersist()
             if novel is not None:
                 novel.unpersist()
 
-    writer = (stream.writeStream
-              .foreachBatch(_process)
-              .option("checkpointLocation", checkpoint_dir))
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _process
