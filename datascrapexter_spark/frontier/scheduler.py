@@ -200,6 +200,15 @@ class CrawlConfig:
     # url_seen probes and no frontier rows. Off by default; seeds are NOT
     # gated (an explicit seed is an operator decision).
     blocked_domains: tuple[str, ...] | None = None
+    # reputation-proportional budgets (reputation.py / q53 wired into the
+    # round loop): each domain's politeness token budget is scaled by its
+    # CUMULATIVE reputation score (integer micro-units, error signal from
+    # the domain_state totals this flag also maintains; the dup signal
+    # stays available to pipelines that track content dups, q58). A new
+    # domain has no history -> full score. Floor of 1 token mirrors the
+    # 1% score floor: a bad host keeps a probe-sized budget and can
+    # recover. Opt-in; off = bit-identical crawls to round-4 fixtures.
+    reputation_budgets: bool = False
 
 
 class CrawlEngine:
@@ -331,7 +340,7 @@ class CrawlEngine:
         empty_state = self.spark.createDataFrame(
             [], "domain string, err_rate double, consec_err int, "
                 "breaker_failures int, quarantined_until int, "
-                "rate_mult double")
+                "rate_mult double, n_fetch_total long, n_err_total long")
         sids["domain_state"] = self.store["domain_state"].overwrite(empty_state)
         sids["pagination_state"] = self.store["pagination_state"].overwrite(
             self.spark.createDataFrame(
@@ -520,6 +529,10 @@ class CrawlEngine:
                 .withColumn("quarantined_until", F.lit(None).cast("int")))
         if "rate_mult" not in prev_state.columns:  # pre-strategy state
             prev_state = prev_state.withColumn("rate_mult", F.lit(1.0))
+        if "n_fetch_total" not in prev_state.columns:  # pre-reputation state
+            prev_state = (
+                prev_state.withColumn("n_fetch_total", F.lit(0).cast("long"))
+                .withColumn("n_err_total", F.lit(0).cast("long")))
 
         # --- circuit breaker gate: open domains are skipped entirely ---
         if cfg.quarantine_max_failures > 0:
@@ -541,10 +554,30 @@ class CrawlEngine:
         budgets = (
             domains.join(F.broadcast(delays), "domain", "left")
             .join(F.broadcast(prev_state.select(
-                "domain", "err_rate", "consec_err", "rate_mult")),
+                "domain", "err_rate", "consec_err", "rate_mult",
+                "n_fetch_total", "n_err_total")),
                 "domain", "left")
-            .select("domain", tokens.alias("tokens"))
+            .select("domain", tokens.alias("tokens"),
+                    "n_fetch_total", "n_err_total")
         )
+        if cfg.reputation_budgets:
+            # cumulative score (reputation.py formula, dup signal 0 on
+            # the engine path): score = MICRO - err_ppm floored at 1%;
+            # no history -> full score. tokens scale proportionally,
+            # floor 1 (the half-open-probe analogue).
+            from .reputation import MICRO, _idiv
+
+            err_ppm = _idiv(F.lit(MICRO) * F.col("n_err_total"),
+                            F.greatest(F.col("n_fetch_total"), F.lit(1)))
+            score = F.when(
+                F.coalesce("n_fetch_total", F.lit(0)) == 0, F.lit(MICRO)
+            ).otherwise(
+                F.greatest(F.lit(MICRO) - err_ppm, F.lit(MICRO // 100)))
+            budgets = budgets.withColumn(
+                "tokens",
+                F.greatest(_idiv(F.col("tokens") * score, F.lit(MICRO)),
+                           F.lit(1)))
+        budgets = budgets.select("domain", "tokens")
         if cfg.quarantine_max_failures > 0:
             # half-open: first round after expiry probes with budget 1
             half = prev_state.filter(
@@ -780,6 +813,8 @@ class CrawlEngine:
             F.col("breaker_failures").alias("p_breaker"),
             F.col("quarantined_until").alias("p_quar"),
             F.col("rate_mult").alias("p_mult"),
+            F.col("n_fetch_total").alias("p_fetch_total"),
+            F.col("n_err_total").alias("p_err_total"),
         )
         merged = round_err.join(prev_s, "domain", "full")
         attempted = F.col("att").isNotNull()
@@ -821,6 +856,12 @@ class CrawlEngine:
             new_breaker.alias("breaker_failures"),
             new_quar.alias("quarantined_until"),
             new_mult.cast("double").alias("rate_mult"),
+            (F.coalesce("p_fetch_total", F.lit(0))
+             + F.coalesce("att", F.lit(0))).cast("long")
+            .alias("n_fetch_total"),
+            (F.coalesce("p_err_total", F.lit(0))
+             + F.coalesce("errs", F.lit(0))).cast("long")
+            .alias("n_err_total"),
         )
 
         # --- checkpoint + round commit: every frontier write is an

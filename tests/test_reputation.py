@@ -57,3 +57,56 @@ def test_total_is_single_pass(spark):
         .executedPlan().toString()
     assert plan.count("Scan ExistingRDD") == 1
     assert "Join" not in plan
+
+
+def test_engine_reputation_budgets_shrink_erroring_domain(spark, tmp_path):
+    """Engine wiring (round-5): with reputation_budgets=True a domain
+    whose fetches all error is squeezed to the 1-token probe floor from
+    round 2 on, while a clean domain keeps its full politeness budget;
+    with the flag off (default) both keep the adaptive recurrence — the
+    feature is opt-in and never changes the default crawl."""
+    from datetime import datetime
+
+    from datascrapexter_spark.frontier.scheduler import (CrawlConfig,
+                                                         CrawlEngine)
+    from datascrapexter_spark.frontier.state import StateStore
+
+    ts = datetime(2024, 3, 1)
+    n = 8
+    pages_rows = [(f"https://good-host.com/p{i}", ts,
+                   b"<html><body>ok</body></html>", "ok", "en")
+                  for i in range(n)]          # bad-host.com: no pages
+    pages = spark.createDataFrame(
+        pages_rows, "url string, warc_ts timestamp, html binary, "
+                    "text string, lang string")
+    seeds = spark.createDataFrame(
+        [(f"https://good-host.com/p{i}", 5) for i in range(n)]
+        + [(f"https://bad-host.com/x{i}", 5) for i in range(n)],
+        "url string, priority int")
+
+    def sched_per_round(flag: bool) -> dict:
+        cfg = CrawlConfig(max_rounds=3, max_attempts=10,
+                          reputation_budgets=flag, bloom_n_shards=4,
+                          bloom_m_bits=1 << 12)
+        cfg.politeness.max_pages_per_round_per_domain = 4
+        eng = CrawlEngine(spark, StateStore(str(tmp_path / f"s{flag}")),
+                          pages, {}, cfg)
+        eng.run(seeds, max_rounds=3)
+        rows = eng._read("request_metrics").collect()
+        out: dict = {}
+        for r in rows:
+            dom = "bad" if "bad-" in r["host"] else "good"
+            out[(r["round"], dom)] = out.get((r["round"], dom), 0) + r["n"]
+        return out
+
+    on = sched_per_round(True)
+    assert on[(1, "bad")] == on[(1, "good")] == 4   # no history yet
+    assert on[(2, "bad")] == 1                      # 100% errors -> floor
+    assert on[(2, "good")] == 4                     # clean -> full budget
+    # flag off (default): same no-history round 1, and the clean domain
+    # is untouched — this fixture's all-error domain also lands on 1 via
+    # the adaptive recurrence, so the existing bit-exact fixtures (which
+    # all run with the flag off) are the opt-in-no-change evidence
+    off = sched_per_round(False)
+    assert off[(1, "bad")] == off[(1, "good")] == 4
+    assert off[(2, "good")] == 4
