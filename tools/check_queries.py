@@ -4,6 +4,11 @@ names, and order-insensitive values (exact; doubles must match bit-for-bit
 after the in-query rounding).
 
 Usage: python tools/check_queries.py [sf_dir] [only_query ...]
+       [--json OUT.json]   write the per-query results as a committed
+                           whole-catalog correctness artifact (round-5
+                           verdict item #2: the driver gate records only
+                           50 queries, so the full catalog needs an
+                           in-repo green record per session)
 """
 
 from __future__ import annotations
@@ -43,8 +48,14 @@ def canon_rows(cols, rows):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from pyspark.sql import SparkSession
 
@@ -69,6 +80,7 @@ def main() -> int:
     from datascrapexter_spark.queries import QUERIES
 
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -79,12 +91,15 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"status": "FAIL", "err": f"spark: {e}"}
             failures += 1
             continue
         spark_s = time.monotonic() - t0
         if name not in ORACLES:
             print(f"OK(rows-only) {name}: {len(srows)} rows "
                   f"[{spark_s:.1f}s spark]")
+            results[name] = {"status": "OK_ROWS_ONLY", "rows": len(srows),
+                             "spark_s": round(spark_s, 2)}
             if len(srows) == 0:
                 print(f"  WARNING: {name} returned 0 rows")
             continue
@@ -94,12 +109,14 @@ def main() -> int:
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"status": "FAIL", "err": f"duckdb: {e}"}
             failures += 1
             continue
         sc, sr = canon_rows(scols, srows)
         dc, dr = canon_rows(dcols, drows)
         if sc != dc:
             print(f"FAIL {name}: columns differ\n  spark: {sc}\n  duck:  {dc}")
+            results[name] = {"status": "FAIL", "err": "columns differ"}
             failures += 1
             continue
         if len(sr) != len(dr):
@@ -109,6 +126,8 @@ def main() -> int:
                 print(f"  spark-only: {r}")
             for r in list(dset - sset)[:3]:
                 print(f"  duck-only:  {r}")
+            results[name] = {"status": "FAIL", "err":
+                             f"rows spark={len(sr)} duck={len(dr)}"}
             failures += 1
             continue
         if sr != dr:
@@ -118,13 +137,25 @@ def main() -> int:
                 if a != b:
                     print(f"  spark: {a}\n  duck:  {b}")
                     break
+            results[name] = {"status": "FAIL",
+                             "err": f"{ndiff}/{len(sr)} rows differ"}
             failures += 1
             continue
         print(f"OK {name}: {len(sr)} rows match [{spark_s:.1f}s spark]")
+        results[name] = {"status": "OK", "rows": len(sr),
+                         "spark_s": round(spark_s, 2)}
         if len(sr) == 0:
             print(f"  WARNING: {name} returned 0 rows")
 
     print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    if json_out:
+        import json as _json
+        ok = sum(1 for r in results.values()
+                 if r["status"].startswith("OK"))
+        with open(json_out, "w") as fh:
+            _json.dump({"sf_dir": sf_dir, "n_queries": len(results),
+                        "n_ok": ok, "n_fail": failures,
+                        "queries": results}, fh, indent=1)
     return 1 if failures else 0
 
 
