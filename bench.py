@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "q70_lm_surprisal",
     "q75_best_representatives",
     "q77_training_mix",
+    "q82_semantic_dedup",
+    "q83_dsir_weights",
+    "q85_surprisal_buckets",
 ]
 
 from datascrapexter_spark.benchjob import (  # noqa: E402

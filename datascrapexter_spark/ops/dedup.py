@@ -41,15 +41,15 @@ from pyspark.sql import functions as F
 
 def tokens_col(text: Column | str, pattern: str = "[ \\t\\n\\r]+") -> Column:
     """Whitespace tokens of trimmed text (empty or whitespace-only text ->
-    empty array). Edge trimming uses the full whitespace class, not
-    F.trim (SQL TRIM strips spaces only, so a tab/newline-padded doc
-    would otherwise grow empty edge tokens and whitespace-only text
-    would count 2 tokens)."""
+    empty array). With a ``+``-quantified separator class, empty tokens
+    can only appear at the EDGES of the split array (leading/trailing
+    whitespace, or the [""] a fully-empty text yields), so dropping
+    empties from the array is exactly full-whitespace-class edge
+    trimming — without the regexp_replace text rescan of v2, which
+    re-evaluated per exploded shingle row and cost q14/q35/q75 ~1.8x
+    (measured; the CollapseProject re-evaluation pitfall)."""
     c = F.col(text) if isinstance(text, str) else text
-    trimmed = F.regexp_replace(c, "^[ \\t\\n\\r]+|[ \\t\\n\\r]+$", "")
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, pattern)
-    )
+    return F.filter(F.split(c, pattern), lambda t: t != "")
 
 
 def shingles_col(text: Column | str, n: int = 3) -> Column:

@@ -43,6 +43,11 @@ class MixConfig:
     blocked_domains: tuple[str, ...] | None = None  # needs domain_col
     domain_col: str | None = None
     dedup: bool = True                      # exact content dedup
+    drop_surprisal_tail: bool = False       # CCNet gate: drop the worst
+                                            # surprisal tertile (q85)
+    dsir_target: DataFrame | None = None    # DSIR selection target corpus
+    min_dsir_millibits: int = 0             # keep docs with
+                                            # avg_millibits >= this (q83)
     lang_rates: dict[str, float] = field(default_factory=dict)
     default_lang_rate: float = 1.0
     token_budget: int | None = None
@@ -105,6 +110,27 @@ def build_training_mix(docs: DataFrame, cfg: MixConfig | None = None,
     if cfg.dedup:
         d = exact_dedup(d, [text_col], order_col=id_col)
         stages.append("after_dedup")
+    if cfg.drop_surprisal_tail:
+        # CCNet's perplexity gate: keep head+middle tertiles. The bucket
+        # join is aggregate-width (value-histogram cutoffs broadcast back
+        # — surprisal_buckets' contract), so this adds one doc-keyed join
+        # on the already-gated survivor set, not a corpus re-scan.
+        from .textstats import surprisal_buckets
+
+        kept = (surprisal_buckets(d, id_col, text_col)
+                .filter(F.col("bucket") != "tail")
+                .select(id_col))
+        d = d.join(kept, id_col, "left_semi")
+        stages.append("after_surprisal")
+    if cfg.dsir_target is not None:
+        # DSIR selection: keep docs at least as target-like as the
+        # threshold. Model tables are <= n_buckets rows (broadcast), the
+        # weight join is doc-keyed on the survivor set.
+        w = (dsir_weights(d, cfg.dsir_target, id_col, text_col)
+             .filter(F.col("avg_millibits") >= cfg.min_dsir_millibits)
+             .select(id_col))
+        d = d.join(w, id_col, "left_semi")
+        stages.append("after_dsir")
     if cfg.lang_rates or cfg.default_lang_rate != 1.0:
         rate = F.lit(float(cfg.default_lang_rate))
         for value, r in sorted(cfg.lang_rates.items()):
@@ -178,3 +204,89 @@ def corpus_report(docs: DataFrame, id_col: str = "doc_id",
     return (agg.select(F.explode(F.create_map(*pairs))
                        .alias("metric", "value"))
             .select("metric", F.col("value").cast("long").alias("value")))
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = 4096) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score each raw document by how target-like its hashed n-gram
+    feature distribution is — the data-selection step that lets a
+    100-TB crawl be subsampled toward a quality target corpus
+    (Wikipedia/books) before training.
+
+    DSIR's weight is log p_target(doc) - log p_raw(doc) under
+    bag-of-hashed-ngram unigram+bigram models. The transcendental is
+    replaced by the repo's bit-length integer (char_lm_surprisal's
+    rule: bitlen(c) is within 1 of log2(c)+1), so per-bucket score =
+    (bitlen(c_t) - bitlen(T_t)) - (bitlen(c_r) - bitlen(T_r)) and the
+    per-doc weight is a BIGINT an independent SQL engine reproduces
+    bit-for-bit. Buckets absent from the target model get bitlen 0 —
+    the maximum-penalty smoothing. avg_millibits uses the
+    truncate-toward-zero division (x - x % n) / n, identical in Spark
+    and DuckDB for NEGATIVE weights too (both use sign-of-dividend
+    remainder; DuckDB's `//` would floor and diverge).
+
+    Scale shape: feature hashing (md5-slice % n_buckets) is pure
+    codegen in the scan; (doc, bucket) tf collapses map-side before
+    the doc-keyed exchange. BOTH models aggregate to <= n_buckets rows,
+    so the scoring join is a broadcast of a few-thousand-row table —
+    the corpus is scanned once for features and once (the target side
+    scans its own corpus once). Empty docs report n_feats 0, weight 0.
+
+    Returns (id_col, n_feats, llr_bits, avg_millibits).
+    """
+    from .dedup import tokens_col
+
+    def feats(df: DataFrame, idc: str) -> DataFrame:
+        toks = tokens_col(F.lower(F.col(text_col)))
+        uni = F.transform(toks, lambda t: F.concat(F.lit("u:"), t))
+        n = F.size(toks)
+        bi = F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                lambda a, b: F.concat(F.lit("b:"), a, F.lit(" "), b)),
+        ).otherwise(F.array().cast("array<string>"))
+        h = F.conv(F.substring(F.md5(F.col("_feat")), 1, 15), 16, 10) \
+            .cast("long")
+        return (df.select(F.col(idc).alias("_id"),
+                          F.explode(F.concat(uni, bi)).alias("_feat"))
+                .select("_id", F.pmod(h, F.lit(n_buckets)).alias("bucket")))
+
+    doc_tf = (feats(docs, id_col)
+              .groupBy("_id", "bucket")
+              .agg(F.count(F.lit(1)).alias("tf"))
+              .persist())  # two consumers: raw model + scoring join
+    raw = doc_tf.groupBy("bucket").agg(F.sum("tf").alias("cr"))
+    tgt = (feats(target, id_col)
+           .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
+    bits = lambda c: F.length(F.bin(c)).cast("int")  # noqa: E731
+    # bitlen(0) must be 0 (bin(0) is "0", length 1 — the q70 coalesce
+    # lesson), so the absent-bucket penalty is explicit, not bits(0)
+    tbits = F.when(F.col("ct").isNull(), F.lit(0)) \
+        .otherwise(bits(F.col("ct")))
+    model = (raw.join(tgt, "bucket", "left")
+             .select("bucket", (tbits - bits(F.col("cr"))).alias("_rel")))
+    totals = (raw.agg(bits(F.sum("cr")).alias("_bits_r"))
+              .withColumn("_k", F.lit(1))
+              .join(tgt.agg(bits(F.sum("ct")).alias("_bits_t"))
+                    .withColumn("_k", F.lit(1)), "_k"))
+    per_doc = (doc_tf.join(F.broadcast(model), "bucket")
+               .groupBy("_id")
+               .agg(F.sum("tf").alias("n_feats"),
+                    F.sum(F.col("tf") * F.col("_rel")).alias("_wrel")))
+    spine = docs.select(F.col(id_col).alias("_id")) \
+        .withColumn("_k", F.lit(1))
+    joined = (spine.join(per_doc, "_id", "left")
+              .join(F.broadcast(totals), "_k"))
+    llr = (F.col("_wrel")
+           + F.col("n_feats") * (F.col("_bits_r") - F.col("_bits_t")))
+    scaled = F.lit(1000) * llr
+    avg = ((scaled - scaled % F.col("n_feats")) / F.col("n_feats")) \
+        .cast("long")
+    return joined.select(
+        F.col("_id").alias(id_col),
+        F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+        F.coalesce(llr, F.lit(0)).cast("long").alias("llr_bits"),
+        F.coalesce(avg, F.lit(0)).cast("long").alias("avg_millibits"))

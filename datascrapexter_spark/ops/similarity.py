@@ -434,3 +434,65 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("qid", "cid", "cos", "rank")
     )
+
+
+def semantic_dedup_flags(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    threshold: float = 0.99,
+    round_to: int = 6,
+    train_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding similarity WITHIN k-means clusters — the
+    LLM-training-data step that removes paraphrase/boilerplate
+    duplicates exact and MinHash dedup both miss.
+
+    A document is a duplicate iff some SAME-CELL document with a
+    smaller id has cosine >= ``threshold`` with it (the paper keeps an
+    arbitrary member of each similar group; min-id is that choice made
+    deterministic and oracle-replayable). Clustering reuses the
+    deterministic seeded k-means of the IVF index (`train_centroids`),
+    so the whole operator — centroids, assignment, in-cell pairs — is
+    reproducible bit-for-bit by an independent SQL engine.
+
+    Scale shape: the paper's contract is n_centroids grows with the
+    corpus (they use ~100k clusters for LAION) so cells stay bounded
+    (thousands of members), making the in-cell self-join a cell-keyed
+    equi-join whose per-cell candidate count is bounded — never an
+    all-pairs. Assignment is a per-row fold over broadcast centroid
+    literals (zero shuffle); the only corpus-width exchanges are the
+    cell-keyed join and the distinct on loser ids. The assigned table
+    is persisted: three consumers (join left, join right, output spine)
+    would otherwise re-derive the assignment per consumer.
+
+    Returns (id_col, cell, is_dup) for EVERY corpus row.
+    """
+    cents = train_centroids(corpus, id_col, vec_col, n_centroids,
+                            n_iters=train_iters)
+    assigned = (
+        corpus.select(F.col(id_col).alias("_id"),
+                      as_double_array(vec_col).alias("_v"))
+        .withColumn("cell", assign_cells_col(F.col("_v"), cents, round_to))
+        .persist()
+    )
+    left = assigned.select("cell", F.col("_id").alias("_ida"),
+                           F.col("_v").alias("_va"))
+    right = assigned.select("cell", F.col("_id").alias("_idb"),
+                            F.col("_v").alias("_vb"))
+    cos = F.round(cosine_sim_col(F.col("_va"), F.col("_vb")), round_to)
+    losers = (
+        left.join(right, "cell")
+        .filter(F.col("_idb") < F.col("_ida"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("_ida").alias("_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        assigned.join(losers, "_id", "left")
+        .select(F.col("_id").alias(id_col), "cell",
+                F.coalesce("_dup", F.lit(False)).alias("is_dup"))
+    )

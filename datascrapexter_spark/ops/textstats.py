@@ -733,3 +733,86 @@ def collocations(docs: DataFrame, id_col: str = "doc_id",
                           .alias("n_pair"), lift.alias("lift_ppm"))
             .orderBy(F.col("lift_ppm").desc(), F.col("bigram").asc())
             .limit(k))
+
+
+def soft404_columns(title_col: Column | str = "title",
+                    text_col: Column | str = "text",
+                    min_tokens: int = 16) -> list[Column]:
+    """Soft-404 detection features — error pages served with HTTP 200,
+    the crawl-corpus poison every archive pipeline filters (the
+    reference's error taxonomy stops at transport errors; content-level
+    error pages are what a 10^10-URL frontier actually drowns in).
+
+    Pure codegen (lowercase + substring containment, no regex — regex
+    dialect drift between engines is the oracle risk): title markers
+    ("404", "not found", "error"), body apology phrases ("page ... not
+    found", "does not exist", "no longer available"), and a tiny-body
+    signal (< min_tokens whitespace tokens). Additive integer score,
+    weighted so either a title marker or a body phrase alone clears
+    the flag threshold but tiny-body alone does not.
+
+    Returns [title_404, body_404, tiny_body, soft404_score, is_soft404].
+    """
+    t = F.lower(F.col(title_col) if isinstance(title_col, str)
+                else title_col)
+    b = F.lower(F.col(text_col) if isinstance(text_col, str) else text_col)
+    title_404 = (t.contains("404") | t.contains("not found")
+                 | t.contains("error"))
+    body_404 = (b.contains("not found") | b.contains("does not exist")
+                | b.contains("no longer available")
+                | b.contains("page unavailable"))
+    tiny = F.size(tokens_col(b)) < min_tokens
+    score = (title_404.cast("int") * 2 + body_404.cast("int") * 2
+             + tiny.cast("int"))
+    return [title_404.alias("title_404"), body_404.alias("body_404"),
+            tiny.alias("tiny_body"),
+            score.cast("int").alias("soft404_score"),
+            (score >= 2).alias("is_soft404")]
+
+
+def surprisal_buckets(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3,
+                      model: DataFrame | None = None) -> DataFrame:
+    """CCNet-style perplexity tertiles (Wenzek et al. 2020,
+    arXiv:1911.00359): score every document with the char-LM surprisal
+    (q70's integer-exact operator) and partition the corpus into
+    head / middle / tail thirds by ascending surprisal — CCNet keeps
+    head+middle and drops the tail as its quality gate.
+
+    Cutoffs are exact integer ranks over the VALUE HISTOGRAM, not the
+    corpus: avg_millibits lives in [0, 1000 * bitlen(T)] (~60k distinct
+    values at most), so the groupBy(value) histogram is bounded by the
+    value domain regardless of corpus size, and the running-sum window
+    over it is aggregate-width — never a corpus-width sort. cut1/cut2
+    are the smallest values whose cumulative count reaches N/3 and
+    2N/3 (exact integer comparison 3*cum >= N, no float percentile),
+    joined back on a constant key. Ties share a bucket, so the split
+    is deterministic and independent of partitioning.
+
+    Returns (id_col, avg_millibits, bucket) with bucket in
+    {'head','middle','tail'}.
+    """
+    from pyspark.sql import Window
+
+    scored = char_lm_surprisal(docs, id_col, text_col, n=n, model=model) \
+        .select(id_col, "avg_millibits")
+    hist = (scored.groupBy("avg_millibits")
+            .agg(F.count(F.lit(1)).alias("_c")))
+    w = (Window.orderBy("avg_millibits")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)) \
+        .withColumn("_k", F.lit(1))
+    totals = hist.agg(F.sum("_c").alias("_n")).withColumn("_k", F.lit(1))
+    cuts = (cum.join(F.broadcast(totals), "_k")
+            .agg(F.min(F.when(F.lit(3) * F.col("_cum") >= F.col("_n"),
+                              F.col("avg_millibits"))).alias("_cut1"),
+                 F.min(F.when(F.lit(3) * F.col("_cum")
+                              >= F.lit(2) * F.col("_n"),
+                              F.col("avg_millibits"))).alias("_cut2"))
+            .withColumn("_k", F.lit(1)))
+    bucket = (F.when(F.col("avg_millibits") <= F.col("_cut1"), "head")
+              .when(F.col("avg_millibits") <= F.col("_cut2"), "middle")
+              .otherwise("tail"))
+    return (scored.withColumn("_k", F.lit(1))
+            .join(F.broadcast(cuts), "_k")
+            .select(id_col, "avg_millibits", bucket.alias("bucket")))

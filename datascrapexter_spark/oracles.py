@@ -392,16 +392,11 @@ SELECT id_a, id_b, round(cos, 6)::DOUBLE AS cos FROM s WHERE cos >= {threshold}
 """
 
 
-def _ivf_sql(k: int = 5, n_queries: int = 10, n_centroids: int = 16,
-             n_probe: int = 4, train_iters: int = 2,
-             sample_size: int = 256) -> str:
-    """Reproduces similarity.ivf_topk: md5-picked centroid INIT refined by
-    `train_iters` deterministic Lloyd iterations over the md5-ordered
-    training sample (similarity.train_centroids — per-iteration: nearest
-    cell by round(cos,6) with ties to the smaller cell, member means
-    rounded to 6, empty cells carry forward), then nearest-cell
-    assignment, n_probe query cells, exact in-cell cosine top-k."""
-    # iteration CTEs c1..cT over init c0 (cell, i, v)
+def _kmeans_iter_ctes(train_iters: int) -> str:
+    """Lloyd-iteration CTEs c1..cT over init c0 (cell, i, v), shared by
+    the IVF (q26) and SemDeDup (q82) oracles. References CTEs `e`
+    (vec_id, i, v exploded corpus), `samp` (training-sample ids) and
+    `n` (per-vector norms) that the caller must define."""
     iters = []
     for t in range(1, train_iters + 1):
         p = t - 1
@@ -432,7 +427,19 @@ c{t} AS (
   SELECT p.cell, p.i, coalesce(m.v, p.v) AS v
   FROM c{p} p LEFT JOIN m{t} m ON m.cell = p.cell AND m.i = p.i
 )""".strip())
-    iter_ctes = (",\n" + ",\n".join(iters)) if iters else ""
+    return (",\n" + ",\n".join(iters)) if iters else ""
+
+
+def _ivf_sql(k: int = 5, n_queries: int = 10, n_centroids: int = 16,
+             n_probe: int = 4, train_iters: int = 2,
+             sample_size: int = 256) -> str:
+    """Reproduces similarity.ivf_topk: md5-picked centroid INIT refined by
+    `train_iters` deterministic Lloyd iterations over the md5-ordered
+    training sample (similarity.train_centroids — per-iteration: nearest
+    cell by round(cos,6) with ties to the smaller cell, member means
+    rounded to 6, empty cells carry forward), then nearest-cell
+    assignment, n_probe query cells, exact in-cell cosine top-k."""
+    iter_ctes = _kmeans_iter_ctes(train_iters)
     return f"""
 WITH {_EMB_EXPLODED},
 cpick AS (
@@ -500,6 +507,222 @@ r AS (
   FROM s
 )
 SELECT qid, cid, cos, rank FROM r WHERE rank <= {k}
+"""
+
+
+def _semantic_dedup_sql(n_centroids: int = 16, threshold: float = 0.99,
+                        train_iters: int = 2,
+                        sample_size: int = 256) -> str:
+    """Reproduces similarity.semantic_dedup_flags over the augmented
+    near-dup corpus: the same deterministic k-means chain as q26 (over
+    the AUG ids), nearest-cell assignment, then a doc is a duplicate iff
+    a smaller-id same-cell member has round(cos, 6) >= threshold."""
+    iter_ctes = _kmeans_iter_ctes(train_iters)
+    return f"""
+WITH {_AUG_EMB},
+e AS (SELECT vec_id, i, v FROM aug),
+ids AS (SELECT DISTINCT vec_id FROM e),
+cpick AS (
+  SELECT cvid, cell FROM (
+    SELECT vec_id AS cvid,
+           (row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+            - 1)::INT AS cell
+    FROM ids
+  ) WHERE cell < {n_centroids}
+),
+samp AS (
+  SELECT vec_id FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn
+    FROM ids
+  ) WHERE rn <= {max(sample_size, n_centroids)}
+),
+n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+c0 AS (SELECT c.cell, e.i, e.v FROM cpick c JOIN e ON e.vec_id = c.cvid)
+{iter_ctes},
+ce AS (SELECT cell, i, v FROM c{train_iters}),
+nc AS (SELECT cell, sqrt(sum(v * v)) AS nrm FROM ce GROUP BY cell),
+ac AS (
+  SELECT a.vec_id, c.cell,
+         round(sum(a.v * c.v) / (any_value(na.nrm) * any_value(ncc.nrm)), 6) AS cos
+  FROM e a
+  JOIN ce c ON c.i = a.i
+  JOIN n na ON na.vec_id = a.vec_id
+  JOIN nc ncc ON ncc.cell = c.cell
+  GROUP BY a.vec_id, c.cell
+),
+assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cell ASC) AS rn
+    FROM ac
+  ) WHERE rn = 1
+),
+pd AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b ON b.cell = a.cell AND b.vec_id < a.vec_id
+),
+dt AS (
+  SELECT p.id_a, p.id_b, sum(x.v * y.v) AS dot
+  FROM pd p
+  JOIN e x ON x.vec_id = p.id_a
+  JOIN e y ON y.vec_id = p.id_b AND y.i = x.i
+  GROUP BY 1, 2
+),
+sc AS (
+  SELECT id_a, round(dot / (na.nrm * nb.nrm), 6) AS cos
+  FROM dt JOIN n na ON na.vec_id = dt.id_a JOIN n nb ON nb.vec_id = dt.id_b
+),
+dup AS (SELECT DISTINCT id_a AS vec_id FROM sc WHERE cos >= {threshold})
+SELECT a.vec_id, a.cell, (d.vec_id IS NOT NULL) AS is_dup
+FROM assign a LEFT JOIN dup d USING (vec_id)
+"""
+
+
+def _dsir_feats_cte(src: str, prefix: str) -> str:
+    """Shared DSIR feature pipeline: whitespace tokens of lowercased text
+    (full [ \\t\\n\\r] edge trim — dedup.tokens_col's rule), 'u:' unigram
+    + 'b:' bigram features, md5-slice 60-bit bucket hash."""
+    return rf"""
+{prefix}tk AS (
+  SELECT doc_id,
+         CASE WHEN t2 = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(t2, '[ \t\n\r]+') END AS toks
+  FROM (SELECT doc_id,
+               regexp_replace(lower(text), '^[ \t\n\r]+|[ \t\n\r]+$', '')
+                 AS t2
+        FROM {src})
+),
+{prefix}ft AS (
+  SELECT doc_id, unnest(list_concat(
+    list_transform(toks, x -> 'u:' || x),
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)),
+                i -> 'b:' || toks[i::INT] || ' ' || toks[(i + 1)::INT])
+         ELSE []::VARCHAR[] END)) AS feat
+  FROM {prefix}tk
+)""".strip()
+
+
+def _dsir_sql(n_buckets: int = 1024) -> str:
+    """Reproduces mix.dsir_weights(documents, documents WHERE lang='en'):
+    bit-length integer log-likelihood ratio of hashed unigram+bigram
+    models; absent target bucket -> bitlen 0; truncate-toward-zero
+    average ((x - x % n) / n — NOT `//`, which floors negatives)."""
+    return f"""
+WITH {_dsir_feats_cte("documents", "r")},
+{_dsir_feats_cte("(SELECT doc_id, text FROM documents WHERE lang = 'en')",
+                 "t")},
+doc_tf AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(feat), 1, 15))::BIGINT % {n_buckets} AS bucket,
+         count(*)::BIGINT AS tf
+  FROM rft GROUP BY 1, 2
+),
+raw AS (SELECT bucket, sum(tf)::BIGINT AS cr FROM doc_tf GROUP BY 1),
+tgt AS (
+  SELECT ('0x' || substr(md5(feat), 1, 15))::BIGINT % {n_buckets} AS bucket,
+         count(*)::BIGINT AS ct
+  FROM tft GROUP BY 1
+),
+model AS (
+  SELECT r.bucket,
+         ((CASE WHEN t.ct IS NULL THEN 0
+                ELSE length(format('{{:b}}', t.ct)) END)
+          - length(format('{{:b}}', r.cr)))::INT AS rel
+  FROM raw r LEFT JOIN tgt t USING (bucket)
+),
+tot AS (
+  SELECT length(format('{{:b}}', (SELECT sum(cr) FROM raw)::BIGINT))::INT
+           AS bits_r,
+         length(format('{{:b}}', (SELECT sum(ct) FROM tgt)::BIGINT))::INT
+           AS bits_t
+),
+pd AS (
+  SELECT doc_id, sum(tf)::BIGINT AS n_feats,
+         sum(tf * rel)::BIGINT AS wrel
+  FROM doc_tf JOIN model USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(pd.n_feats, 0)::BIGINT AS n_feats,
+       coalesce(pd.wrel + pd.n_feats * (t.bits_r - t.bits_t), 0)::BIGINT
+         AS llr_bits,
+       (CASE WHEN pd.n_feats IS NULL OR pd.n_feats = 0 THEN 0
+             ELSE (1000 * (pd.wrel + pd.n_feats * (t.bits_r - t.bits_t))
+                   - (1000 * (pd.wrel + pd.n_feats * (t.bits_r - t.bits_t)))
+                     % pd.n_feats) / pd.n_feats
+        END)::BIGINT AS avg_millibits
+FROM documents d LEFT JOIN pd USING (doc_id) CROSS JOIN tot t
+"""
+
+
+# Reproduces queries.q84_soft404 + textstats.soft404_columns: synthesized
+# titles/bodies (every 17th doc an error page), lowercase substring
+# markers, additive score, flag at >= 2.
+_SOFT404_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         lower(CASE WHEN doc_id % 17 = 0
+                    THEN '404 Not Found - Doc ' || doc_id
+                    ELSE 'Doc ' || doc_id END) AS t,
+         lower(CASE WHEN doc_id % 17 = 0
+                    THEN 'The page you requested was not found on this server.'
+                    ELSE text END) AS b
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         (t LIKE '%404%' OR t LIKE '%not found%' OR t LIKE '%error%')
+           AS title_404,
+         (b LIKE '%not found%' OR b LIKE '%does not exist%'
+          OR b LIKE '%no longer available%' OR b LIKE '%page unavailable%')
+           AS body_404,
+         len(CASE WHEN b2 = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(b2, '[ \t\n\r]+') END) < 16
+           AS tiny_body
+  FROM (SELECT *,
+               regexp_replace(b, '^[ \t\n\r]+|[ \t\n\r]+$', '') AS b2
+        FROM p)
+)
+SELECT doc_id, title_404, body_404, tiny_body,
+       (title_404::INT * 2 + body_404::INT * 2 + tiny_body::INT)::INT
+         AS soft404_score,
+       (title_404::INT * 2 + body_404::INT * 2 + tiny_body::INT) >= 2
+         AS is_soft404
+FROM s
+"""
+
+
+# Reproduces textstats.surprisal_buckets: q70's integer surprisal, then
+# head/middle/tail by exact integer rank over the value histogram
+# (3*cum >= N and 3*cum >= 2*N smallest values; ties share a bucket).
+# {q70} is substituted via .replace at registration (the q70 SQL itself
+# contains format('{:b}') braces, so str.format would choke).
+_SURPRISAL_BUCKETS_SQL = """
+WITH sc AS (
+  SELECT doc_id, avg_millibits FROM ({q70}) q70
+),
+hist AS (SELECT avg_millibits, count(*)::BIGINT AS c FROM sc GROUP BY 1),
+cum AS (
+  SELECT avg_millibits,
+         sum(c) OVER (ORDER BY avg_millibits
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+),
+tot AS (SELECT sum(c)::BIGINT AS n FROM hist),
+cuts AS (
+  SELECT min(CASE WHEN 3 * cum >= n THEN avg_millibits END) AS cut1,
+         min(CASE WHEN 3 * cum >= 2 * n THEN avg_millibits END) AS cut2
+  FROM cum CROSS JOIN tot
+)
+SELECT sc.doc_id, sc.avg_millibits,
+       CASE WHEN sc.avg_millibits <= cuts.cut1 THEN 'head'
+            WHEN sc.avg_millibits <= cuts.cut2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sc CROSS JOIN cuts
 """
 
 
@@ -1867,6 +2090,11 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q79_outline": _OUTLINE_SQL,
     "q80_corpus_report": _corpus_report_sql(),
     "q81_collocations": _collocations_sql(20, 5),
+    "q82_semantic_dedup": _semantic_dedup_sql(16, 0.99),
+    "q83_dsir_weights": _dsir_sql(1024),
+    "q84_soft404": _SOFT404_SQL,
+    "q85_surprisal_buckets": _SURPRISAL_BUCKETS_SQL.replace(
+        "{q70}", _LM_SURPRISAL_SQL),
     "q35_dedup_clusters": _dedup_clusters_sql(16, 4, 0.5),
     "q36_c4_line_filter": _C4_LINE_FILTER_SQL,
     "q37_stratified_split": _STRATIFIED_SPLIT_SQL,

@@ -1343,6 +1343,53 @@ def q81_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.collocations(docs, k=20, min_count=5)
 
 
+def q82_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: embedding-cosine duplicates WITHIN deterministic k-means
+    cells (min-id winner) over the perturbed near-dup corpus — the
+    semantic layer exact/MinHash dedup misses."""
+    aug = _augmented_embeddings(spark, sf_dir)
+    return similarity.semantic_dedup_flags(
+        aug, "vec_id", "embedding", n_centroids=16, threshold=0.99)
+
+
+def q83_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (hashed unigram+bigram models, bit-length
+    integer log-likelihood ratio): raw corpus = all documents, target =
+    the English slice."""
+    from .ops.mix import dsir_weights
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"),
+                        n_buckets=1024)
+
+
+def q84_soft404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection over synthesized page titles/bodies (every 17th
+    doc is an error page served as content) — pure codegen substring
+    features, additive score, flag."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    err = d % 17 == 0
+    pages = docs.select(
+        "doc_id",
+        F.when(err, F.concat(F.lit("404 Not Found - Doc "),
+                             d.cast("string")))
+        .otherwise(F.concat(F.lit("Doc "), d.cast("string"))).alias("title"),
+        F.when(err, F.lit(
+            "The page you requested was not found on this server."))
+        .otherwise(F.col("text")).alias("text"))
+    return pages.select(
+        "doc_id", *textstats.soft404_columns("title", "text", min_tokens=16))
+
+
+def q85_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity tertiles: char-LM surprisal (q70) bucketed into
+    head/middle/tail by exact integer rank over the bounded value
+    histogram — never a corpus-width sort."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.surprisal_buckets(docs, "doc_id", "text", n=3)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1868,5 +1915,9 @@ QUERIES = {
     "q79_outline": q79_outline,
     "q80_corpus_report": q80_corpus_report,
     "q81_collocations": q81_collocations,
+    "q82_semantic_dedup": q82_semantic_dedup,
+    "q83_dsir_weights": q83_dsir_weights,
+    "q84_soft404": q84_soft404,
+    "q85_surprisal_buckets": q85_surprisal_buckets,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

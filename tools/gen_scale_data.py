@@ -78,17 +78,53 @@ def generate_documents(out_dir: str, n_docs: int, seed: int = 42) -> str:
     return path
 
 
+SF01_EMB = "/root/testdata/sf0.1/embeddings.parquet"
+
+
+def generate_embeddings(out_dir: str, n_vecs: int, seed: int = 43) -> str:
+    """Scale-up embeddings table, calibrated to sf0.1 (same dim, float32
+    list column, same label domain); seeded standard-normal vectors —
+    the same distribution family the driver's random embeddings show."""
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, "embeddings.parquet")
+    src = pq.read_table(SF01_EMB)
+    dim = len(src.column("embedding")[0])
+    labels = sorted(set(src.column("label").to_pylist()))
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n_vecs, dim)).astype(np.float32)
+    lab = rng.choice(np.array(labels, dtype=np.int32), size=n_vecs)
+    table = pa.table({
+        "vec_id": pa.array(np.arange(n_vecs, dtype=np.int64)),
+        "embedding": pa.array(mat.tolist(), type=pa.list_(pa.float32())),
+        "label": pa.array(lab, type=pa.int32()),
+    })
+    pq.write_table(table, path)
+    return path
+
+
 def ensure_scale_dir(out_dir: str, n_docs: int, seed: int = 42) -> str:
-    """Idempotent: generate only if the table is absent or the wrong
-    size (a partial previous run)."""
+    """Idempotent: generate only if a table is absent or the wrong
+    size (a partial previous run). Embeddings keep sf0.1's 2:5 ratio
+    to documents."""
     path = os.path.join(out_dir, "documents.parquet")
+    ok = False
     if os.path.exists(path):
         try:
-            if pq.read_metadata(path).num_rows == n_docs:
-                return out_dir
+            ok = pq.read_metadata(path).num_rows == n_docs
         except Exception:
-            pass
-    generate_documents(out_dir, n_docs, seed)
+            ok = False
+    if not ok:
+        generate_documents(out_dir, n_docs, seed)
+    n_vecs = (n_docs * 2) // 5
+    epath = os.path.join(out_dir, "embeddings.parquet")
+    ok = False
+    if os.path.exists(epath):
+        try:
+            ok = pq.read_metadata(epath).num_rows == n_vecs
+        except Exception:
+            ok = False
+    if not ok:
+        generate_embeddings(out_dir, n_vecs, seed + 1)
     return out_dir
 
 
