@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "q82_semantic_dedup",
     "q83_dsir_weights",
     "q85_surprisal_buckets",
+    "q86_bpe_merges",
+    "q87_winnowing",
 ]
 
 from datascrapexter_spark.benchjob import (  # noqa: E402

@@ -13,6 +13,7 @@ north rule.
 """
 
 from . import (  # noqa: F401
+    bpe,
     dedup,
     drift,
     enrich,

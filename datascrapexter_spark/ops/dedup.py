@@ -1441,3 +1441,120 @@ def repeated_span_dedup(df: DataFrame, id_col: str = "doc_id",
             F.array_join(F.transform(kept_toks, lambda s: s["0"]), sep))
         .alias("text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# local-similarity fingerprint): robust partial-overlap detection that
+# exact fingerprints (textstats.fingerprint_col) and whole-doc MinHash
+# both miss when two documents share a long passage inside otherwise
+# different text.
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 4, w: int = 5) -> DataFrame:
+    """Select winnowing fingerprints: per document, hash every word
+    k-gram (60-bit md5 slice, the repo's cross-engine hash), slide a
+    window of `w` consecutive k-gram hashes, and keep the minimum hash
+    of each window — ties to the RIGHTMOST position (robust winnowing),
+    deduplicated per (doc, position).
+
+    Guarantee (the paper's): any shared run of >= w + k - 1 tokens
+    between two documents yields at least one identical selected
+    fingerprint, while the density of selected hashes is ~2/(w+1) —
+    documents shrink to sparse fingerprint sets before any join.
+
+    Shape at scale: hashing + window argmin are a single Project +
+    Generate per document — the k-gram hash array is materialized ONCE
+    behind the Generate (the CollapseProject discipline; each exploded
+    window row then slices the materialized array instead of re-hashing
+    k strings per window). The only shuffle is the final per-doc
+    distinct on (id, pos, fp). Docs with fewer than k tokens yield no
+    fingerprints; docs with 1 <= n_grams < w yield one window over all
+    their grams (so every hashable doc is represented).
+
+    Returns (id_col, pos, fp): pos = global k-gram index of the selected
+    hash, fp = the 60-bit hash value.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = (df.select(F.col(id_col).alias("_id"),
+                      toks.alias("_toks"))
+            .filter(F.size("_toks") >= k))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("_toks") - k),
+        lambda p: F.conv(
+            F.substring(
+                F.md5(F.array_join(
+                    F.slice(F.col("_toks"), p + 1, k), " ")), 1, 15),
+            16, 10).cast("long"))
+    hashed = base.select("_id", grams.alias("_h"))
+    n = F.size("_h")
+    starts = F.sequence(F.lit(0), F.greatest(n - w, F.lit(0)))
+    exploded = hashed.select(
+        "_id", "_h", F.explode(starts).alias("start"))
+    win = F.slice(F.col("_h"), F.col("start") + 1, w)
+    mn = F.array_min(win)
+    # rightmost occurrence of the min inside the window (1-indexed from
+    # the window's right edge via the reversed array)
+    rpos = F.size(win) - F.array_position(F.reverse(win), mn)
+    return (exploded
+            .select(F.col("_id").alias(id_col),
+                    (F.col("start") + rpos).cast("int").alias("pos"),
+                    mn.alias("fp"))
+            .distinct())
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
+                         k: int = 4, w: int = 5,
+                         threshold: float = 0.5,
+                         max_fp_doc_freq: int | None = None) -> DataFrame:
+    """Partial-overlap candidate pairs via shared winnowing fingerprints:
+    equi-join the fingerprint sets on fp (never a cross join), count
+    shared fingerprint VALUES per pair, and score
+    overlap = n_shared / min(|fp_a|, |fp_b|) — containment-style, so a
+    short document embedded in a long one still scores high.
+
+    Scale: the join key is a content hash of a k-gram run, so its row
+    multiplicity is the number of documents sharing that exact passage —
+    duplication-shaped like the LSH band key (measured flat in
+    SCALE_r05.json); a genuinely mega-duplicated boilerplate passage is
+    exactly what the operator exists to surface. For adversarial
+    corpora, `max_fp_doc_freq` drops fingerprint values shared by more
+    than that many documents BEFORE the join — SYMMETRICALLY (one
+    table, one filter — no probe-side asymmetry), with the documented
+    recall tradeoff: a passage duplicated across > cap docs stops
+    contributing to overlap scores. Returns
+    (id_a, id_b, n_shared, overlap) with id_a < id_b, overlap rounded
+    to 6 (oracle-exact: counts are integers, the ratio exact IEEE
+    division).
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+    vals = fps.select(F.col(id_col).alias("_id"), "fp").distinct()
+    if max_fp_doc_freq is not None:
+        hot = (vals.groupBy("fp")
+               .agg(F.count(F.lit(1)).alias("dfreq"))
+               .filter(F.col("dfreq") > max_fp_doc_freq)
+               .select("fp"))
+        vals = vals.join(hot, "fp", "left_anti")
+    # four consumers (join left/right, both size joins) and Spark shares
+    # no subtrees — persist the SPARSE fingerprint table (density
+    # ~2/(w+1) grams/doc) or the corpus gets rescanned + rehashed 4x
+    vals = vals.persist()
+    sizes = vals.groupBy("_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = vals.alias("a")
+    b = vals.alias("b")
+    shared = (a.join(b, (F.col("a.fp") == F.col("b.fp"))
+                     & (F.col("a._id") < F.col("b._id")))
+              .groupBy(F.col("a._id").alias("id_a"),
+                       F.col("b._id").alias("id_b"))
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    sa = sizes.select(F.col("_id").alias("id_a"),
+                      F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"),
+                      F.col("n_fp").alias("n_b"))
+    return (shared.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", "n_shared",
+                    F.round(F.col("n_shared")
+                            / F.least(F.col("n_a"), F.col("n_b")), 6)
+                    .alias("overlap"))
+            .filter(F.col("overlap") >= threshold))

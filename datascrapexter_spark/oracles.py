@@ -1769,6 +1769,118 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+def _bpe_sql(n_merges: int = 8) -> str:
+    """Replays ops/bpe.bpe_merges: word-frequency table -> n_merges
+    greedy rounds, each a generated CTE block (pair counts from the
+    double-space sentinel encoding, 1-row argmax with (cnt DESC, lhs,
+    rhs) tie-break, merge applied via one leftmost-non-overlapping
+    replace() — identical semantics in both engines on this encoding).
+    Rounds that run out of pairs produce empty b{r} CTEs, matching the
+    Spark loop's early break."""
+    rounds = []
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        rounds.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT l, r2, sum(freq)::BIGINT AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(syms)), i -> syms[i])) AS l,
+           unnest(list_transform(range(1, len(syms)), i -> syms[i + 1]))
+             AS r2
+    FROM (SELECT freq, str_split(trim(enc), '  ') AS syms FROM e{p})
+  ) GROUP BY 1, 2
+),
+b{r} AS MATERIALIZED (SELECT l, r2, cnt FROM p{r}
+         ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1),
+e{r} AS MATERIALIZED (
+  SELECT freq,
+         replace(enc,
+                 ' ' || (SELECT l FROM b{r}) || '  '
+                     || (SELECT r2 FROM b{r}) || ' ',
+                 ' ' || (SELECT l FROM b{r})
+                     || (SELECT r2 FROM b{r}) || ' ') AS enc
+  FROM e{p})""".strip())
+    finals = "\n  UNION ALL ".join(
+        f"SELECT {r}::INT AS merge_rank, l AS lhs, r2 AS rhs, "
+        f"l || r2 AS merged, cnt AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1))
+    return f"""
+WITH wf AS MATERIALIZED (
+  SELECT w AS word, count(*)::BIGINT AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                        '[ \t\n\r]+')) AS w
+    FROM documents) WHERE w <> '' GROUP BY 1
+),
+e0 AS MATERIALIZED (
+  SELECT freq,
+         ' ' || array_to_string(
+                  list_transform(range(1, length(word) + 1),
+                                 i -> word[i]), '  ') || ' ' AS enc
+  FROM wf
+),
+{",".join(rounds)}
+SELECT * FROM (
+  {finals}
+) ORDER BY merge_rank
+"""
+
+
+def _winnowing_sql(k: int = 4, w: int = 5, threshold: float = 0.5) -> str:
+    """Replays q87: wrapped-corpus construction, word k-gram 60-bit md5
+    hashes, per-window min with rightmost tie-break (max gpos where
+    h = window min), value-distinct fingerprint sets, fp equi-join,
+    containment overlap on the rounded value."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000,
+         'prepended chrome header tokens then ' || text ||
+         ' trailing footer junk appended'
+  FROM documents WHERE doc_id % 3 = 0
+),
+tok AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '[ \t\n\r]+') AS toks
+  FROM base
+),
+g AS (
+  SELECT doc_id,
+         unnest(range(0, len(toks) - {k} + 1)) AS gpos,
+         unnest(list_transform(range(0, len(toks) - {k} + 1),
+           p -> ('0x' || substr(md5(array_to_string(
+                   toks[p + 1:p + {k}], ' ')), 1, 15))::BIGINT)) AS h
+  FROM tok WHERE len(toks) >= {k}
+),
+nw AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+s AS (
+  SELECT doc_id, unnest(range(0, greatest(n - {w}, 0) + 1)) AS start
+  FROM nw
+),
+wmin AS (
+  SELECT s.doc_id, s.start, min(g.h) AS mn
+  FROM s JOIN g ON g.doc_id = s.doc_id
+              AND g.gpos BETWEEN s.start AND s.start + {w - 1}
+  GROUP BY 1, 2
+),
+fps AS (
+  SELECT DISTINCT doc_id, mn AS fp FROM wmin
+),
+sz AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY 1),
+pr AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared,
+       round(n_shared / least(sa.n_fp, sb.n_fp), 6)::DOUBLE AS overlap
+FROM pr
+JOIN sz sa ON sa.doc_id = pr.id_a
+JOIN sz sb ON sb.doc_id = pr.id_b
+WHERE round(n_shared / least(sa.n_fp, sb.n_fp), 6) >= {threshold}
+"""
+
+
 ORACLES: dict[str, str] = {
     "q59_url_templates": _url_templates_sql(),
     "q68_host_boilerplate": _HOST_BOILERPLATE_SQL,
@@ -2095,6 +2207,8 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
     "q84_soft404": _SOFT404_SQL,
     "q85_surprisal_buckets": _SURPRISAL_BUCKETS_SQL.replace(
         "{q70}", _LM_SURPRISAL_SQL),
+    "q86_bpe_merges": _bpe_sql(8),
+    "q87_winnowing": _winnowing_sql(4, 5, 0.5),
     "q35_dedup_clusters": _dedup_clusters_sql(16, 4, 0.5),
     "q36_c4_line_filter": _C4_LINE_FILTER_SQL,
     "q37_stratified_split": _STRATIFIED_SPLIT_SQL,

@@ -1390,6 +1390,39 @@ def q85_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.surprisal_buckets(docs, "doc_id", "text", n=3)
 
 
+def q86_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (ops/bpe.bpe_merges): the first
+    8 merges over the corpus — one corpus scan to the word-frequency
+    table, then vocab-width pair-count rounds with a 1-row argmax
+    collect each; merge application is a single replace() on the
+    double-space sentinel encoding. Oracle replays the identical greedy
+    recurrence with generated per-round CTEs."""
+    from .ops.bpe import bpe_merges
+
+    docs = load(spark, sf_dir, "documents").select("text")
+    return bpe_merges(docs, "text", n_merges=8)
+
+
+def q87_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) partial-overlap pairs over a corpus where every
+    third document also appears wrapped in prepended/appended chrome
+    (id+300000): the shared passage is >= w+k-1 tokens, so the
+    winnowing guarantee forces shared fingerprints and each
+    (original, wrapped) pair must surface with high containment
+    overlap — the local-similarity case whole-doc MinHash scores low
+    and exact fingerprints miss entirely."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    wrapped = docs.filter(d % 3 == 0).select(
+        (d + 300000).alias("doc_id"),
+        F.concat(F.lit("prepended chrome header tokens then "),
+                 F.col("text"),
+                 F.lit(" trailing footer junk appended")).alias("text"))
+    corpus = docs.unionByName(wrapped)
+    return dedup.winnow_overlap_pairs(corpus, "doc_id", "text",
+                                      k=4, w=5, threshold=0.5)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1919,5 +1952,7 @@ QUERIES = {
     "q83_dsir_weights": q83_dsir_weights,
     "q84_soft404": q84_soft404,
     "q85_surprisal_buckets": q85_surprisal_buckets,
+    "q86_bpe_merges": q86_bpe_merges,
+    "q87_winnowing": q87_winnowing,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
