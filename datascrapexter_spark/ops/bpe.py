@@ -168,3 +168,53 @@ def _apply_enc_literal(word, merges: list[tuple[str, str]]) -> F.Column:
         enc = F.replace(enc, F.lit(f" {lhs}  {rhs} "),
                         F.lit(f" {lhs}{rhs} "))
     return enc
+
+
+def bpe_encode_counts(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n_merges: int = 8,
+                      merges: list[tuple[str, str]] | None = None
+                      ) -> DataFrame:
+    """Per-document subword statistics under a trained BPE merge table —
+    the token-accounting step between tokenizer training (bpe_merges)
+    and budget carving / packing (ops/sampling.py), which both consume
+    token counts, not raw text.
+
+    If ``merges`` is None the table is trained on ``docs`` itself
+    (n_merges rounds; the collect is <= n_merges rows by bpe_merges'
+    contract). Encoding then runs at VOCAB width, not corpus width: one
+    corpus scan builds the (doc, word, cnt) table, the distinct-word
+    side gets the merge replace() chain applied once per word (pure
+    codegen), and the word-keyed join back is vocab-bounded — a 100-TB
+    corpus re-encodes each distinct word once, never each occurrence
+    (the bpe_merges heaps-law argument again). Oracle: DuckDB replays
+    training AND encoding on the carried word column
+    (oracles._bpe_encode_sql).
+
+    Returns (id_col, n_words, n_bpe_tokens) with 0/0 for empty docs —
+    the empty->0 contract every counting operator follows.
+    """
+    if merges is None:
+        merges = [(r["lhs"], r["rhs"])
+                  for r in bpe_merges(docs, text_col, n_merges)
+                  .select("lhs", "rhs").collect()]
+    dw = (docs.select(F.col(id_col).alias("_id"),
+                      F.explode(tokens_col(F.lower(F.col(text_col))))
+                      .alias("word"))
+          .groupBy("_id", "word").agg(F.count(F.lit(1)).alias("cnt")))
+    vocab = (dw.select("word").distinct()
+             .select("word",
+                     F.size(F.split(
+                         F.trim(_apply_enc_literal(F.col("word"), merges)),
+                         "  ")).alias("n_syms")))
+    per_doc = (dw.join(vocab, "word")
+               .groupBy("_id")
+               .agg(F.sum("cnt").alias("n_words"),
+                    F.sum(F.col("cnt") * F.col("n_syms"))
+                    .alias("n_bpe_tokens")))
+    return (docs.select(F.col(id_col).alias("_id"))
+            .join(per_doc, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("n_words", F.lit(0)).cast("long")
+                    .alias("n_words"),
+                    F.coalesce("n_bpe_tokens", F.lit(0)).cast("long")
+                    .alias("n_bpe_tokens")))

@@ -1558,3 +1558,44 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
                             / F.least(F.col("n_a"), F.col("n_b")), 6)
                     .alias("overlap"))
             .filter(F.col("overlap") >= threshold))
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench_id_col: str | None = None,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: near-duplicate (training doc,
+    benchmark item) pairs via MinHash-LSH — the paraphrase-robust
+    companion to ``decontaminate`` (q41), whose exact 8-gram overlap
+    misses eval items that were lightly rewritten, truncated, or had
+    chrome appended before landing in the crawl (GPT-3 appendix C /
+    Gopher section A.3 both ship exactly this pair of checks: exact
+    n-gram AND fuzzy near-dup).
+
+    Thin, documented composition over ``minhash_batch_pairs`` with the
+    BENCHMARK as the probe batch — the benchmark side is eval-set-sized
+    (thousands), the corpus side is the 100-TB crawl, so candidates come
+    from the (band, key) equi-join and only candidate training docs are
+    ever verified with the exact shingle Jaccard. For a continuously
+    probed benchmark use the persisted index path (write_minhash_index +
+    dedup_batch_indexed) with the benchmark as each batch.
+
+    Returns (id_col, benchmark_id, jaccard) — one row per contaminated
+    (training doc, benchmark item) pair with estimated-then-verified
+    Jaccard >= threshold.
+    """
+    bid = bench_id_col or id_col
+    pairs = minhash_batch_pairs(
+        corpus, benchmark.select(F.col(bid).alias(id_col), text_col),
+        id_col, text_col, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold)
+    return pairs.select(F.col("id_corpus").alias(id_col),
+                        F.col("id_new").alias("benchmark_id"),
+                        "jaccard")

@@ -202,3 +202,75 @@ def host_graph_rollup(edges: DataFrame, src_col: str = "src_url",
                     .alias("internal"),
                     F.coalesce(F.col("_rev"), F.lit(False))
                     .alias("reciprocal")))
+
+
+def hits_micro(nodes: DataFrame, edges: DataFrame, iters: int = 4,
+               node_col: str = "node",
+               checkpoint_every: int = 10) -> DataFrame:
+    """Exact fixed-point HITS (Kleinberg hubs & authorities) — the other
+    classical link-graph crawl-priority signal: hubs are good frontier
+    expansion points (their out-links reach many authorities), and
+    authorities are fetch-priority targets. Complements ``pagerank_micro``
+    the way the reference's priority column is complemented by it.
+
+    Scores are BIGINT micro-units; each half-iteration max-normalizes
+    (score·SCALE div max) instead of the textbook L2 norm, which keeps
+    the recurrence in exact integer arithmetic so the result is
+    bit-identical regardless of partitioning — the repo's oracle
+    discipline (oracles._hits_sql replays the identical recurrence in
+    generated CTEs). All values nonnegative, so Spark ``div`` and DuckDB
+    ``//`` agree. Nodes with no in-edges hold authority 0; no out-edges,
+    hub 0. int64 bound: max in-degree · SCALE² must fit — holds to
+    ~9·10^6 in-degree, beyond which drop SCALE to 1e3 (documented like
+    pagerank_micro's mass bound).
+
+    Scale shape: the big edge table is laid down TWICE, once partitioned
+    by src (the hub→authority join key) and once by dst (the
+    authority→hub join key) — two at-rest layouts like a both-ways
+    bucketed join table — so per iteration only the node-width score
+    tables shuffle. The per-phase max is a 1-row driver scalar
+    (bounded collect) inlined as a literal into the next plan, which
+    doubles as the iteration barrier every synchronous HITS needs.
+    Lineage is cut with localCheckpoint every ``checkpoint_every``
+    iterations.
+
+    Returns (node, hub_micro, auth_micro).
+    """
+    e_src = edges.repartition("src").persist()   # phase 1: join h on src
+    e_dst = edges.repartition("dst").persist()   # phase 2: join a on dst
+    base = nodes.select(F.col(node_col).alias("node"))
+    h = base.select("node", F.lit(SCALE).cast("long").alias("hub_micro"))
+    a = None
+    # Each raw table feeds its argmax AND the normalized select; left
+    # lazy, the plan doubles per half-iteration (2^(2*iters) replays —
+    # the q75 double-eval lesson). The max is a 1-row driver scalar by
+    # construction, so collect it (bounded, the repo's driver-shape
+    # contract), inline it as a literal, and persist the raw table the
+    # collect just materialized: every iteration's plan then roots at a
+    # cached node-width table and stays O(1) deep.
+    for it in range(iters):
+        araw = (e_src.join(h, e_src.src == h.node)
+                .groupBy("dst").agg(F.sum("hub_micro").alias("araw"))
+                .persist())
+        amax = araw.agg(F.max("araw")).collect()[0][0] or 1
+        a = araw.select(F.col("dst").alias("node"),
+                        F.expr(f"({SCALE} * araw) div {amax}")
+                        .cast("long").alias("auth_micro"))
+        hraw = (e_dst.join(a, e_dst.dst == a.node)
+                .groupBy("src").agg(F.sum("auth_micro").alias("hraw"))
+                .persist())
+        hmax = hraw.agg(F.max("hraw")).collect()[0][0] or 1
+        h = hraw.select(F.col("src").alias("node"),
+                        F.expr(f"({SCALE} * hraw) div {hmax}")
+                        .cast("long").alias("hub_micro"))
+        if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
+            h = h.localCheckpoint()
+            a = a.localCheckpoint()
+    return (base
+            .join(h, "node", "left")
+            .join(a, "node", "left")
+            .select("node",
+                    F.coalesce("hub_micro", F.lit(0)).cast("long")
+                    .alias("hub_micro"),
+                    F.coalesce("auth_micro", F.lit(0)).cast("long")
+                    .alias("auth_micro")))

@@ -290,3 +290,50 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
         F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
         F.coalesce(llr, F.lit(0)).cast("long").alias("llr_bits"),
         F.coalesce(avg, F.lit(0)).cast("long").alias("avg_millibits"))
+
+
+def temperature_weights(docs: DataFrame, domain_col: str = "source",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based mixture rebalancing at T=2 (sqrt scaling) — the
+    multilingual/multi-domain upsampling rule (mT5/PaLM data mixing:
+    sample domain d with probability ∝ n_d^(1/T)), which lifts
+    small-but-valuable domains without letting the head domains dominate
+    a training mix the way proportional sampling does.
+
+    T=2 keeps the repo's integer-exact oracle discipline without a
+    transcendental: w_d = floor(sqrt(n_d)). IEEE-754 sqrt is correctly
+    rounded in both engines and sqrt(non-square) is irrational, so
+    floor(sqrt(n)) == isqrt(n) exactly for n < 2^40 (documented bound —
+    far above any per-domain document count here; beyond it, compute
+    isqrt via one Newton step on the float seed). Shares/targets use
+    truncating division on nonnegative values, identical in Spark
+    (``div``) and DuckDB (``//``).
+
+    Scale shape: ONE domain-keyed corpus aggregate (map-side
+    combinable); everything after runs on the domains-width table with a
+    broadcast 1-row totals join. Returns one row per domain:
+      (domain_col, n_docs, weight, share_ppm, target_n, repeat_milli)
+    where target_n = total·share_ppm div 1e6 is the post-rebalance
+    document budget and repeat_milli = 1000·target_n div n_docs is the
+    up/down-sampling factor a sampler (ops/sampling.py) applies.
+    """
+    per = (docs.groupBy(F.col(domain_col).alias("_dom"))
+           .agg(F.count(F.lit(1)).alias("n_docs"))
+           .withColumn("weight",
+                       F.floor(F.sqrt(F.col("n_docs"))).cast("long")))
+    totals = (per.agg(F.sum("n_docs").alias("n_total"),
+                      F.sum("weight").alias("w_total"))
+              .withColumn("_k", F.lit(1)))
+    return (per.withColumn("_k", F.lit(1))
+            .join(F.broadcast(totals), "_k")
+            .select(
+                F.col("_dom").alias(domain_col),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                "weight",
+                F.expr("(1000000 * weight) div w_total")
+                .cast("long").alias("share_ppm"),
+                F.expr("(n_total * ((1000000 * weight) div w_total))"
+                       " div 1000000").cast("long").alias("target_n"),
+                F.expr("(1000 * ((n_total * ((1000000 * weight)"
+                       " div w_total)) div 1000000)) div n_docs")
+                .cast("long").alias("repeat_milli")))

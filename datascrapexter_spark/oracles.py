@@ -1769,14 +1769,17 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
-def _bpe_sql(n_merges: int = 8) -> str:
-    """Replays ops/bpe.bpe_merges: word-frequency table -> n_merges
-    greedy rounds, each a generated CTE block (pair counts from the
-    double-space sentinel encoding, 1-row argmax with (cnt DESC, lhs,
+def _bpe_train_ctes(n_merges: int = 8, carry_word: bool = False) -> str:
+    """CTE chain replaying ops/bpe's training loop: word-frequency table
+    -> n_merges greedy rounds, each a generated block (pair counts from
+    the double-space sentinel encoding, 1-row argmax with (cnt DESC, lhs,
     rhs) tie-break, merge applied via one leftmost-non-overlapping
     replace() — identical semantics in both engines on this encoding).
     Rounds that run out of pairs produce empty b{r} CTEs, matching the
-    Spark loop's early break."""
+    Spark loop's early break. ``carry_word`` keeps the word column on
+    every e{r} so the final table doubles as the word->encoding vocab
+    (the q92 encode oracle)."""
+    w = "word, " if carry_word else ""
     rounds = []
     for r in range(1, n_merges + 1):
         p = r - 1
@@ -1793,35 +1796,213 @@ p{r} AS MATERIALIZED (
 b{r} AS MATERIALIZED (SELECT l, r2, cnt FROM p{r}
          ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1),
 e{r} AS MATERIALIZED (
-  SELECT freq,
+  SELECT {w}freq,
          replace(enc,
                  ' ' || (SELECT l FROM b{r}) || '  '
                      || (SELECT r2 FROM b{r}) || ' ',
                  ' ' || (SELECT l FROM b{r})
                      || (SELECT r2 FROM b{r}) || ' ') AS enc
   FROM e{p})""".strip())
-    finals = "\n  UNION ALL ".join(
-        f"SELECT {r}::INT AS merge_rank, l AS lhs, r2 AS rhs, "
-        f"l || r2 AS merged, cnt AS pair_count FROM b{r}"
-        for r in range(1, n_merges + 1))
-    return f"""
-WITH wf AS MATERIALIZED (
+    return f"""wf AS MATERIALIZED (
   SELECT w AS word, count(*)::BIGINT AS freq FROM (
     SELECT unnest(regexp_split_to_array(trim(lower(text)),
                                         '[ \t\n\r]+')) AS w
     FROM documents) WHERE w <> '' GROUP BY 1
 ),
 e0 AS MATERIALIZED (
-  SELECT freq,
+  SELECT {w}freq,
          ' ' || array_to_string(
                   list_transform(range(1, length(word) + 1),
                                  i -> word[i]), '  ') || ' ' AS enc
   FROM wf
 ),
-{",".join(rounds)}
+{",".join(rounds)}"""
+
+
+def _bpe_sql(n_merges: int = 8) -> str:
+    """Replays ops/bpe.bpe_merges via _bpe_train_ctes; the final select
+    unions each round's 1-row argmax into the merge table."""
+    finals = "\n  UNION ALL ".join(
+        f"SELECT {r}::INT AS merge_rank, l AS lhs, r2 AS rhs, "
+        f"l || r2 AS merged, cnt AS pair_count FROM b{r}"
+        for r in range(1, n_merges + 1))
+    return f"""
+WITH {_bpe_train_ctes(n_merges)}
 SELECT * FROM (
   {finals}
 ) ORDER BY merge_rank
+"""
+
+
+def _bpe_encode_sql(n_merges: int = 8) -> str:
+    """Replays queries.q92_bpe_encode: training CTEs with the word column
+    carried to the final e{n} table (word -> merged encoding vocab), then
+    per-doc word counts joined against the vocab's symbol counts; empty
+    docs report 0/0 via the documents-spine left join."""
+    return f"""
+WITH {_bpe_train_ctes(n_merges, carry_word=True)},
+v AS (SELECT word, len(str_split(trim(enc), '  '))::BIGINT AS n_syms
+      FROM e{n_merges}),
+dw AS (
+  SELECT doc_id, w AS word, count(*)::BIGINT AS cnt FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)),
+                                        '[ \t\n\r]+')) AS w
+    FROM documents) WHERE w <> '' GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id, sum(cnt)::BIGINT AS n_words,
+         sum(cnt * n_syms)::BIGINT AS n_bpe_tokens
+  FROM dw JOIN v USING (word) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_words, 0)::BIGINT AS n_words,
+       coalesce(per.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def _bm25_sql(k: int = 10, k1m: int = 1200, bm: int = 750) -> str:
+    """Replays queries.q88_bm25_topk / ops/retrieval.bm25_topk: same
+    synthetic tag/grp vocabulary, bit-length idf, milli-unit tf
+    normalization with truncating division at every named step (all
+    values nonnegative, so DuckDB ``//`` == Spark ``div``)."""
+    return f"""
+WITH pages AS (
+  SELECT doc_id,
+         text || ' tag' || (doc_id % 97) || ' grp' || (doc_id % 13) AS text
+  FROM documents
+),
+q AS (
+  SELECT i AS query_id,
+         'tag' || (i * 11) || ' grp' || (i % 13) || ' value scan' AS qtext
+  FROM range(8) t(i)
+),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '[ {{t}}{{n}}{{r}}]+'))
+           AS term
+  FROM pages
+),
+postings AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok
+             WHERE term <> '' GROUP BY 1, 2),
+lens AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM postings GROUP BY 1),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY 1),
+consts AS (SELECT count(*)::BIGINT AS n_docs,
+                  (1000 * sum(dl)) // count(*) AS avgdl_m
+           FROM lens),
+qt AS (
+  SELECT DISTINCT query_id,
+         unnest(regexp_split_to_array(trim(lower(qtext)), '[ {{t}}{{n}}{{r}}]+'))
+           AS term
+  FROM q
+),
+qidf AS (
+  SELECT qt.query_id, qt.term,
+         length(bin(c.n_docs)) - length(bin(d.df)) AS idf_bits
+  FROM qt JOIN dft d USING (term) CROSS JOIN consts c
+),
+sc AS (
+  SELECT qi.query_id, p.doc_id,
+         qi.idf_bits * ((1000 * p.tf * ({k1m} + 1000)) //
+           (1000 * p.tf + ({k1m} * ((1000 - {bm}) +
+              ({bm} * ((1000000 * l.dl) // c.avgdl_m)) // 1000)) // 1000))
+           AS c
+  FROM postings p
+  JOIN qidf qi USING (term)
+  JOIN lens l USING (doc_id)
+  CROSS JOIN consts c
+),
+agg AS (SELECT query_id, doc_id, sum(c)::BIGINT AS score_milli
+        FROM sc GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score_milli DESC, doc_id ASC)
+        AS rank FROM agg)
+SELECT query_id, doc_id, score_milli, rank::INT AS rank
+FROM r WHERE rank <= {k}
+""".replace("{t}", "\t").replace("{n}", "\n").replace("{r}", "\r")
+
+
+def _hits_sql(iters: int = 4, out_deg: int = 4) -> str:
+    """CTE replay of ops.graphrank.hits_micro: same md5-derived edges as
+    _pagerank_sql, same integer max-normalized recurrence (BIGINT
+    micro-units, ``//`` floor division on nonnegative values)."""
+    from .ops.graphrank import SCALE
+    parts = [
+        "WITH nn AS (SELECT count(*) AS n FROM documents)",
+        "edges AS MATERIALIZED (SELECT DISTINCT doc_id AS src, "
+        "('0x'||substr(md5(doc_id::VARCHAR || ':' || i::VARCHAR),1,8))::BIGINT"
+        f" % (SELECT n FROM nn) AS dst FROM documents, range({out_deg}) t(i))",
+        f"h0 AS (SELECT doc_id AS node, {SCALE}::BIGINT AS hub"
+        " FROM documents)",
+    ]
+    # every ar{k}/hr{k} is referenced twice (argmax subquery + main FROM):
+    # MATERIALIZED keeps DuckDB's inlining from going exponential in iters
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT e.dst, sum(h.hub) AS araw"
+            f" FROM edges e"
+            f" JOIN h{p} h ON h.node = e.src GROUP BY e.dst)")
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT dst AS node, ({SCALE} * araw)"
+            f" // (SELECT max(araw) FROM ar{k}) AS auth FROM ar{k})")
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT e.src, sum(a.auth) AS hraw"
+            f" FROM edges e"
+            f" JOIN a{k} a ON a.node = e.dst GROUP BY e.src)")
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT src AS node, ({SCALE} * hraw)"
+            f" // (SELECT max(hraw) FROM hr{k}) AS hub FROM hr{k})")
+    return (",\n".join(parts)
+            + f"""
+SELECT d.doc_id AS node,
+       coalesce(h.hub, 0)::BIGINT AS hub_micro,
+       coalesce(a.auth, 0)::BIGINT AS auth_micro
+FROM documents d
+LEFT JOIN h{iters} h ON h.node = d.doc_id
+LEFT JOIN a{iters} a ON a.node = d.doc_id
+""")
+
+
+def _fuzzy_decon_sql(threshold: float = 0.5) -> str:
+    """q90: the symmetric minhash pair CTEs over corpus UNION benchmark
+    (benchmark ids offset by 400000, so id_a < id_b puts the corpus doc
+    first in every cross-side pair); the final filter keeps only
+    (corpus, benchmark) pairs, matching minhash_batch_pairs' asymmetric
+    candidate join."""
+    aug = (
+        "SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 400000, text || ' eval answer label' "
+        "FROM documents WHERE doc_id % 50 = 0 "
+        "UNION ALL SELECT doc_id + 400000, 'benchmark item ' || doc_id || "
+        "' with wholly novel question content' "
+        "FROM documents WHERE doc_id % 50 = 1"
+    )
+    return f"""
+WITH {_minhash_pair_ctes(16, 4, aug_sql=aug)}
+SELECT id_a AS doc_id, id_b AS benchmark_id,
+       round(jac, 6)::DOUBLE AS jaccard
+FROM j
+WHERE jac >= {threshold} AND id_a < 400000 AND id_b >= 400000
+"""
+
+
+_TEMPERATURE_MIX_SQL = """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         floor(sqrt(count(*)))::BIGINT AS weight
+  FROM documents GROUP BY source
+),
+t AS (SELECT sum(n_docs)::BIGINT AS n_total,
+             sum(weight)::BIGINT AS w_total FROM per)
+SELECT source, n_docs, weight,
+       ((1000000 * weight) // w_total)::BIGINT AS share_ppm,
+       ((n_total * ((1000000 * weight) // w_total)) // 1000000)::BIGINT
+         AS target_n,
+       ((1000 * ((n_total * ((1000000 * weight) // w_total)) // 1000000))
+         // n_docs)::BIGINT AS repeat_milli
+FROM per CROSS JOIN t
 """
 
 
@@ -2209,6 +2390,11 @@ SELECT doc_id, md5(text) AS digest FROM r WHERE rn = 1
         "{q70}", _LM_SURPRISAL_SQL),
     "q86_bpe_merges": _bpe_sql(8),
     "q87_winnowing": _winnowing_sql(4, 5, 0.5),
+    "q88_bm25_topk": _bm25_sql(10),
+    "q89_hits_scores": _hits_sql(4),
+    "q90_fuzzy_decontamination": _fuzzy_decon_sql(0.5),
+    "q91_temperature_mix": _TEMPERATURE_MIX_SQL,
+    "q92_bpe_encode": _bpe_encode_sql(8),
     "q35_dedup_clusters": _dedup_clusters_sql(16, 4, 0.5),
     "q36_c4_line_filter": _C4_LINE_FILTER_SQL,
     "q37_stratified_split": _STRATIFIED_SPLIT_SQL,

@@ -1423,6 +1423,79 @@ def q87_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       k=4, w=5, threshold=0.5)
 
 
+def q88_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25 top-10 per query over a corpus with synthetic
+    discriminative vocabulary (tag/grp suffix tokens span rare->common
+    df): one corpus scan to the postings, query side broadcast, top-k
+    via WindowGroupLimit — never a global sort."""
+    from .ops.retrieval import bm25_topk
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    pages = docs.select(
+        "doc_id",
+        F.concat("text", F.lit(" tag"), (d % 97).cast("string"),
+                 F.lit(" grp"), (d % 13).cast("string")).alias("text"))
+    i = F.col("id")
+    qs = spark.range(8).select(
+        F.col("id").alias("query_id"),
+        F.concat(F.lit("tag"), (i * 11).cast("string"),
+                 F.lit(" grp"), (i % 13).cast("string"),
+                 F.lit(" value scan")).alias("qtext"))
+    return bm25_topk(pages, qs, k=10)
+
+
+def q89_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS hubs & authorities over the q47 deterministic link
+    graph: 4 exact fixed-point iterations in BIGINT micro-units with
+    max-normalization — bit-identical to the oracle's CTE replay."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()
+    edges = graphrank.synth_link_edges(docs, n_nodes=n)
+    return graphrank.hits_micro(docs, edges, iters=4, node_col="doc_id")
+
+
+def q90_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (MinHash-LSH) benchmark decontamination: eval items are
+    corpus docs with an appended answer-key tail (every 50th doc) plus
+    wholly novel items that must match nothing — the paraphrase-robust
+    companion to q41's exact 8-gram check."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    bid = (d + 400000).alias("doc_id")
+    bench = (
+        docs.filter(d % 50 == 0).select(
+            bid, F.concat("text", F.lit(" eval answer label")).alias("text"))
+        .unionByName(docs.filter(d % 50 == 1).select(
+            bid,
+            F.concat(F.lit("benchmark item "), d.cast("string"),
+                     F.lit(" with wholly novel question content"))
+            .alias("text"))))
+    pairs = dedup.fuzzy_decontaminate(docs, bench, "doc_id", "text",
+                                      threshold=0.5)
+    return pairs.select("doc_id", "benchmark_id",
+                        F.round("jaccard", 6).alias("jaccard"))
+
+
+def q91_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (T=2, integer isqrt) mixture rebalance per source
+    domain: one domain-keyed aggregate, domains-width everything else."""
+    from .ops.mix import temperature_weights
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return temperature_weights(docs, "source", "doc_id")
+
+
+def q92_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document subword counts under the q86-trained BPE merge table:
+    encoding runs at vocab width (each distinct word re-encoded once,
+    never each occurrence), word-keyed join back to the doc table."""
+    from .ops.bpe import bpe_encode_counts
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_encode_counts(docs, "doc_id", "text", n_merges=8)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -1954,5 +2027,10 @@ QUERIES = {
     "q85_surprisal_buckets": q85_surprisal_buckets,
     "q86_bpe_merges": q86_bpe_merges,
     "q87_winnowing": q87_winnowing,
+    "q88_bm25_topk": q88_bm25_topk,
+    "q89_hits_scores": q89_hits_scores,
+    "q90_fuzzy_decontamination": q90_fuzzy_decontamination,
+    "q91_temperature_mix": q91_temperature_mix,
+    "q92_bpe_encode": q92_bpe_encode,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
