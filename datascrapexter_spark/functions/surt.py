@@ -80,3 +80,46 @@ def cdx_index(df: DataFrame, url_col: str = "url", ts_col: str | None = None,
               if num_ranges else out.repartitionByRange("surt_key", "ts",
                                                         "url"))
     return ranged.sortWithinPartitions("surt_key", "ts", "url")
+
+
+def cdx_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Snapshot diff of two CDX capture indexes (cdx_index output or any
+    (surt_key, digest) tables): per URL-key, is the capture new, gone,
+    changed, or unchanged between crawls — the incremental-crawl
+    planning input (what to refetch) and the archive-integrity report
+    (what vanished). Keys repeated within a snapshot are collapsed to
+    their latest capture by (ts, digest) max first, so the diff is
+    well-defined per key.
+
+    Scale shape: both sides collapse to key-width via one groupBy
+    each (map-side combinable), then ONE full-outer sort-merge join on
+    surt_key — at rest both snapshots would be bucketed by surt_key
+    (the url_seen pattern, frontier/state.py), making the join
+    exchange-free; status is a codegen CASE over null-ness + digest
+    equality, and the host rollup is a prefix extraction off the SURT
+    key itself (no URL re-parse).
+
+    Returns (surt_key, host_rev, status, old_digest, new_digest) with
+    status in {'added','removed','changed','unchanged'}.
+    """
+    def latest(df: DataFrame, side: str) -> DataFrame:
+        cols = dict.fromkeys(df.columns)
+        ts = F.col("ts") if "ts" in cols else F.lit(None).cast("timestamp")
+        return (df.select("surt_key", ts.alias("_ts"), "digest")
+                .groupBy("surt_key")
+                .agg(F.max(F.struct(F.col("_ts"), F.col("digest")))
+                     .alias("_m"))
+                .select("surt_key",
+                        F.col("_m.digest").alias(f"{side}_digest")))
+    o = latest(old, "old")
+    n = latest(new, "new")
+    joined = o.join(n, "surt_key", "full_outer")
+    status = (F.when(F.col("old_digest").isNull(), F.lit("added"))
+              .when(F.col("new_digest").isNull(), F.lit("removed"))
+              .when(F.col("old_digest") == F.col("new_digest"),
+                    F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    host_rev = F.regexp_extract("surt_key", r"^([^)]*)\)", 1)
+    return joined.select("surt_key", host_rev.alias("host_rev"),
+                         status.alias("status"), "old_digest",
+                         "new_digest")

@@ -387,3 +387,57 @@ def engine_health_report(engine) -> dict:
         engine._read("request_metrics"),
         engine.store["extraction_metrics"].read(engine.spark),
     )
+
+
+def schedule_fairness(scheduled: DataFrame, host_col: str = "host",
+                      weight_col: str | None = None) -> DataFrame:
+    """Integer-exact Gini coefficient of the per-host scheduled-URL
+    distribution — the fairness KPI for a politeness scheduler: 0 =
+    every host gets equal fetch share, ->1 = one host starves the rest.
+    Complements the per-host budget caps (frontier/politeness.py):
+    budgets bound the MAX per host, this measures the whole shape, so
+    a drifting frontier (trap farm, one mega-sitemap) is visible as a
+    single monitored number per round (the reference's dashboard
+    aggregates per-domain request counts, dashboard.go:488-533; this is
+    that table reduced to its inequality).
+
+    gini_ppm = (1_000_000 * sum_i((2i - n - 1) * x_i)) div (n * sum(x))
+    over per-host totals x sorted ascending, rank i = 1..n. Equal-value
+    blocks contribute c * (2*m*s + m*(m-1) - m*(n+1)) for block start s
+    and size m — rank-order within ties cancels, so the value is
+    partitioning-independent and an independent SQL engine reproduces
+    it bit-for-bit (no floats anywhere).
+
+    Scale shape: corpus-width scan -> per-host groupBy (map-side
+    combinable, host-width) -> groupBy(count-value) histogram
+    (count-distinct-width, thousands of rows for 10^8 hosts) -> ONE
+    running-sum window over that tiny histogram -> single-row answer.
+    The naive rank-every-host window would be a host-width
+    single-partition sort; the value-histogram trick is the same dodge
+    surprisal_buckets / exact_group_quantiles use.
+
+    Returns one row: (n_hosts, total, gini_ppm).
+    """
+    from pyspark.sql import Window
+
+    x = F.col(weight_col) if weight_col else F.lit(1)
+    per_host = (scheduled.select(F.col(host_col).alias("_h"),
+                                 x.alias("_x"))
+                .groupBy("_h").agg(F.sum("_x").alias("_c")))
+    hist = per_host.groupBy("_c").agg(F.count(F.lit(1)).alias("_m"))
+    w = (Window.orderBy("_c")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.withColumn("_cum_m", F.sum("_m").over(w))
+    # block start s = cum_m - m + 1 (1-based ascending rank)
+    contrib = (F.col("_c") *
+               (F.lit(2) * F.col("_m") * (F.col("_cum_m") - F.col("_m")
+                                          + F.lit(1))
+                + F.col("_m") * (F.col("_m") - F.lit(1))))
+    return (cum.agg(
+        F.sum(F.col("_m")).cast("long").alias("n_hosts"),
+        F.sum(F.col("_c") * F.col("_m")).cast("long").alias("total"),
+        F.sum(contrib).alias("_a"))
+        .select("n_hosts", "total",
+                F.expr("(1000000 * (_a - (n_hosts + 1) * total))"
+                       " div (n_hosts * total)")
+                .cast("long").alias("gini_ppm")))

@@ -120,3 +120,62 @@ def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", F.col("_id").alias(id_col),
                     F.col("score_milli").cast("long").alias("score_milli"),
                     "rank"))
+
+
+def phrase_search(docs: DataFrame, phrase: str, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact positional phrase query: occurrences of ``phrase`` as
+    ADJACENT tokens (whitespace tokenization, lowercased), overlapping
+    matches counted — the positional-postings companion to the q63
+    inverted index and q88 BM25 (both term-frequency-only). Reference
+    parity: DataScrapexter's extraction filters are substring/regex
+    (internal/scraper/extractor.go); token-adjacency search is engine
+    extension surface like bm25_topk above.
+
+    Returns (doc_id, n_matches) for documents with >= 1 occurrence.
+
+    Scale shape (100 TB corpus, phrase of n words):
+    - ONE corpus scan; the posexplode Generate is immediately filtered
+      by a LITERAL in-set of the n phrase words (codegen; no join, no
+      broadcast, nothing Python), so everything downstream is sized by
+      phrase-term frequency, not corpus width.
+    - a token matching phrase position i at doc position p votes for a
+      candidate start p - i (literal map term -> positions, exploded);
+      a start with all n distinct votes is a match. Both aggregations
+      key on (doc, start) / (doc) — the second is a shrink of the
+      first, no corpus-width exchange anywhere.
+    - repeated words inside the phrase are handled by the multi-vote
+      map (each token instance votes once per slot it could fill), and
+      counting DISTINCT slot indexes per start keeps overlapping
+      occurrences exact.
+    """
+    words = phrase.lower().split()
+    n = len(words)
+    if n == 0:
+        raise ValueError("empty phrase")
+    slots: dict[str, list[int]] = {}
+    for i, w in enumerate(words):
+        slots.setdefault(w, []).append(i)
+    # literal map word -> array of phrase slots it fills
+    kv: list[Column] = []
+    for w, idxs in slots.items():
+        kv.append(F.lit(w))
+        kv.append(F.array(*[F.lit(i) for i in idxs]))
+    slot_map = F.create_map(*kv)
+    tok = (docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens_col(F.lower(F.col(text_col))))
+        .alias("pos", "token"))
+        .filter(F.col("token").isin(list(slots))))
+    votes = tok.select(
+        "_id", "pos",
+        F.explode(F.element_at(slot_map, F.col("token"))).alias("slot"))
+    starts = (votes.select("_id", (F.col("pos") - F.col("slot"))
+                           .alias("start"), "slot")
+              .filter(F.col("start") >= 0)
+              .groupBy("_id", "start")
+              .agg(F.count_distinct("slot").alias("n_slots")))
+    return (starts.filter(F.col("n_slots") == n)
+            .groupBy("_id")
+            .agg(F.count(F.lit(1)).alias("n_matches"))
+            .select(F.col("_id").alias(id_col), "n_matches"))

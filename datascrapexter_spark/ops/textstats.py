@@ -816,3 +816,87 @@ def surprisal_buckets(docs: DataFrame, id_col: str = "doc_id",
     return (scored.withColumn("_k", F.lit(1))
             .join(F.broadcast(cuts), "_k")
             .select(id_col, "avg_millibits", bucket.alias("bucket")))
+
+
+def stupid_backoff_scores(train_docs: DataFrame, score_docs: DataFrame,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Word-bigram LM fluency score with stupid backoff (Brants et al.
+    2007, "Large Language Models in Machine Translation"), integer-exact
+    in ppm — the WORD-level companion to char_lm_surprisal (char LM =
+    encoding anomalies; word LM = disfluent/boilerplate text, the CCNet
+    quality axis a char model can't see).
+
+    Per bigram instance (w1, w2) in a scored doc:
+      seen:   s_ppm = (1_000_000 * c2(w1,w2)) div ctx(w1)
+      backoff: s_ppm = (400_000 * uni(w2)) div T        (alpha = 0.4)
+      (w2 unseen in training -> 0)
+    where ctx(w) = training occurrences of w as a bigram START (the
+    exact MLE conditional denominator: c2/ctx sums to 1 over w2) and
+    uni(w) = occurrences as a bigram END (document-initial-only words
+    back off to 0) — both derived from the bigram table, so the
+    training text is scanned exactly once.
+    Doc score = sum over bigram instances; avg_ppm = sum div n_bigrams.
+    All quantities nonnegative BIGINTs with truncating division, so an
+    independent SQL engine reproduces every value bit-for-bit (the
+    bm25_topk / tfidf discipline: no log, no float).
+
+    Scale shape (LM trained on a reference slice, scored over 100 TB):
+    - train side: one scan -> bigram Generate -> three aggregate-width
+      count tables (c2 keyed by the bigram, ctx/uni by the word, both
+      rollups OF the c2 table — the Generate output is aggregated once,
+      map-side); T is the one-row total, broadcast on a constant key.
+    - score side: one scan -> per-doc bigram multiplicities collapse
+      map-side BEFORE any join (the (doc, w1, w2, k) table is the only
+      corpus-width exchange); the c2 / ctx(w1) / uni(w2) lookups are
+      three aggregate-width equi-joins on it. Nothing rescans text.
+    - docs with < 2 tokens score 0 with n_bigrams 0 by contract (the
+      left join back to the id spine keeps them in the output).
+
+    Returns (id, n_bigrams, sum_ppm, avg_ppm).
+    """
+    def bigrams(df: DataFrame) -> DataFrame:
+        toks = tokens_col(F.lower(F.col(text_col)))
+        return (df.select(F.col(id_col).alias("_id"), toks.alias("_t"))
+                .filter(F.size("_t") >= 2)
+                .select("_id",
+                        F.explode(F.zip_with(
+                            F.slice("_t", 1, F.size("_t") - 1),
+                            F.slice("_t", 2, F.size("_t") - 1),
+                            lambda a, b: F.struct(a.alias("w1"),
+                                                  b.alias("w2"))))
+                        .alias("bg"))
+                .select("_id", F.col("bg.w1").alias("w1"),
+                        F.col("bg.w2").alias("w2")))
+    c2 = (bigrams(train_docs).groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).alias("c2")).persist())
+    ctx = c2.groupBy("w1").agg(F.sum("c2").alias("ctx"))
+    uni = c2.groupBy("w2").agg(F.sum("c2").alias("uni"))
+    totals = (uni.agg(F.sum("uni").alias("t_total"))
+              .withColumn("_k", F.lit(1)))
+    sc = (bigrams(score_docs)
+          .groupBy("_id", "w1", "w2")
+          .agg(F.count(F.lit(1)).alias("k")))
+    scored = (sc
+              .join(c2, ["w1", "w2"], "left")
+              .join(ctx, "w1", "left")
+              .join(uni, "w2", "left")
+              .withColumn("_k", F.lit(1))
+              .join(F.broadcast(totals), "_k")
+              .withColumn("s_ppm", F.when(
+                  F.col("c2").isNotNull(),
+                  F.expr("(1000000 * c2) div ctx"))
+                  .otherwise(F.coalesce(
+                      F.expr("(400000 * uni) div t_total"), F.lit(0)))))
+    per_doc = (scored.groupBy("_id")
+               .agg(F.sum("k").alias("n_bigrams"),
+                    F.sum(F.col("k") * F.col("s_ppm")).alias("sum_ppm")))
+    spine = score_docs.select(F.col(id_col).alias("_id")).distinct()
+    return (spine.join(per_doc, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("n_bigrams", F.lit(0)).cast("long")
+                    .alias("n_bigrams"),
+                    F.coalesce("sum_ppm", F.lit(0)).cast("long")
+                    .alias("sum_ppm"),
+                    F.coalesce(F.expr("sum_ppm div n_bigrams"), F.lit(0))
+                    .cast("long").alias("avg_ppm")))

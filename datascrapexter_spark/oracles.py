@@ -2892,6 +2892,210 @@ SELECT p_partkey,
        concat_ws('; ', v1, v2) AS violations
 FROM v
 """,
+    # q93: positional phrase search — replays queries.q93_phrase_search /
+    # ops/retrieval.phrase_search (slot votes, count DISTINCT slots per
+    # candidate start, overlapping matches counted).
+    "q93_phrase_search": r"""
+WITH d AS (
+  SELECT doc_id,
+         lower(text) || CASE
+           WHEN doc_id % 4 = 0
+             THEN ' frontier crawl frontier crawl frontier'
+           WHEN doc_id % 4 = 1 THEN ' frontier crawl engine'
+           ELSE '' END AS text
+  FROM documents
+),
+tk AS (
+  SELECT doc_id,
+         CASE WHEN t2 = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(t2, '[ \t\n\r]+') END AS toks
+  FROM (SELECT doc_id,
+               regexp_replace(text, '^[ \t\n\r]+|[ \t\n\r]+$', '') AS t2
+        FROM d)
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM tk
+),
+slots AS (SELECT * FROM (VALUES ('frontier', 0), ('crawl', 1),
+                                ('frontier', 2)) v(term, slot)),
+votes AS (
+  SELECT doc_id, pos - slot AS start, slot
+  FROM pos JOIN slots ON tok = term
+  WHERE pos - slot >= 0
+),
+st AS (
+  SELECT doc_id, start FROM votes
+  GROUP BY doc_id, start HAVING count(DISTINCT slot) = 3
+)
+SELECT doc_id, count(*)::BIGINT AS n_matches FROM st GROUP BY doc_id
+""",
+    # q94: stupid-backoff bigram LM — replays queries.q94_word_lm /
+    # ops/textstats.stupid_backoff_scores (ctx = bigram-start counts,
+    # uni = bigram-end counts, alpha = 0.4 in ppm, truncating division).
+    "q94_word_lm": r"""
+WITH tr AS (
+  SELECT doc_id, lower(text) AS text FROM documents WHERE doc_id % 2 = 0
+),
+sc AS (
+  SELECT doc_id,
+         lower(text) || CASE WHEN doc_id % 10 = 1
+                             THEN ' zzoov' || (doc_id % 7)
+                             ELSE '' END AS text
+  FROM documents WHERE doc_id % 2 = 1
+),
+trtk AS (
+  SELECT CASE WHEN t2 = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(t2, '[ \t\n\r]+') END AS toks
+  FROM (SELECT regexp_replace(text, '^[ \t\n\r]+|[ \t\n\r]+$', '') AS t2
+        FROM tr)
+),
+trbg AS (
+  SELECT toks[g] AS w1, toks[g + 1] AS w2
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS g FROM trtk)
+),
+c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM trbg GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(c2)::BIGINT AS ctx FROM c2 GROUP BY w1),
+uni AS (SELECT w2, sum(c2)::BIGINT AS uni FROM c2 GROUP BY w2),
+t AS (SELECT sum(uni)::BIGINT AS t_total FROM uni),
+sctk AS (
+  SELECT doc_id,
+         CASE WHEN t2 = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(t2, '[ \t\n\r]+') END AS toks
+  FROM (SELECT doc_id,
+               regexp_replace(text, '^[ \t\n\r]+|[ \t\n\r]+$', '') AS t2
+        FROM sc)
+),
+scbg AS (
+  SELECT doc_id, toks[g] AS w1, toks[g + 1] AS w2, count(*)::BIGINT AS k
+  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS g FROM sctk)
+  GROUP BY doc_id, w1, w2
+),
+scored AS (
+  SELECT s.doc_id, s.k,
+         CASE WHEN c2.c2 IS NOT NULL
+              THEN (1000000 * c2.c2) // ctx.ctx
+              ELSE COALESCE((400000 * uni.uni)
+                            // (SELECT t_total FROM t), 0) END AS s_ppm
+  FROM scbg s
+  LEFT JOIN c2 ON s.w1 = c2.w1 AND s.w2 = c2.w2
+  LEFT JOIN ctx ON s.w1 = ctx.w1
+  LEFT JOIN uni ON s.w2 = uni.w2
+),
+per_doc AS (
+  SELECT doc_id, sum(k)::BIGINT AS n_bigrams,
+         sum(k * s_ppm)::BIGINT AS sum_ppm
+  FROM scored GROUP BY doc_id
+)
+SELECT sp.doc_id,
+       COALESCE(n_bigrams, 0)::BIGINT AS n_bigrams,
+       COALESCE(sum_ppm, 0)::BIGINT AS sum_ppm,
+       COALESCE(CASE WHEN n_bigrams > 0 THEN sum_ppm // n_bigrams END,
+                0)::BIGINT AS avg_ppm
+FROM (SELECT DISTINCT doc_id FROM sc) sp
+LEFT JOIN per_doc USING (doc_id)
+""",
+    # q95: exact per-language discrete quantiles — replays
+    # queries.q95_length_quantiles / ops/sketches.exact_group_quantiles
+    # (type-1 lower quantile via value-histogram running sum).
+    "q95_length_quantiles": r"""
+WITH tk AS (
+  SELECT lang,
+         CASE WHEN t2 = '' THEN 0
+              ELSE len(regexp_split_to_array(t2, '[ \t\n\r]+')) END
+           AS n_tokens
+  FROM (SELECT lang,
+               regexp_replace(text, '^[ \t\n\r]+|[ \t\n\r]+$', '') AS t2
+        FROM documents)
+),
+h AS (SELECT lang, n_tokens AS v, count(*)::BIGINT AS c
+      FROM tk GROUP BY lang, n_tokens),
+cum AS (
+  SELECT lang, v, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM h
+)
+SELECT lang, max(n)::BIGINT AS n,
+       min(CASE WHEN 100 * cum >= 50 * n THEN v END)::BIGINT AS p50,
+       min(CASE WHEN 100 * cum >= 90 * n THEN v END)::BIGINT AS p90,
+       min(CASE WHEN 100 * cum >= 99 * n THEN v END)::BIGINT AS p99
+FROM cum GROUP BY lang
+""",
+    # q96: CDX snapshot delta — replays queries.q96_cdx_delta /
+    # functions/surt.cdx_delta (latest capture per key by (ts, digest)
+    # max, full-outer diff, null-ness/digest CASE).
+    "q96_cdx_delta": r"""
+WITH base AS (
+  SELECT o_orderkey AS k,
+         'com,example,shop' || (o_custkey % 50) || ')/items/'
+           || o_orderkey AS surt_key,
+         o_orderdate AS ts
+  FROM orders
+),
+old_s AS (
+  SELECT surt_key, ts, md5(surt_key) AS digest FROM base
+  UNION ALL
+  SELECT surt_key, ts + INTERVAL 1 DAY, md5(surt_key || 'v2')
+  FROM base WHERE k % 5 = 0
+),
+new_s AS (
+  SELECT surt_key, ts,
+         CASE WHEN k % 10 = 1 THEN md5(surt_key || 'v3')
+              WHEN k % 5 = 0 THEN md5(surt_key || 'v2')
+              ELSE md5(surt_key) END AS digest
+  FROM base WHERE k % 10 <> 0
+  UNION ALL
+  SELECT 'net,fresh)/p/' || k AS surt_key, ts,
+         md5(base.surt_key) AS digest
+  FROM base WHERE k % 7 = 0
+),
+lo AS (
+  SELECT surt_key, digest AS old_digest FROM (
+    SELECT surt_key, digest,
+           row_number() OVER (PARTITION BY surt_key
+                              ORDER BY ts DESC, digest DESC) AS rn
+    FROM old_s) WHERE rn = 1
+),
+ln AS (
+  SELECT surt_key, digest AS new_digest FROM (
+    SELECT surt_key, digest,
+           row_number() OVER (PARTITION BY surt_key
+                              ORDER BY ts DESC, digest DESC) AS rn
+    FROM new_s) WHERE rn = 1
+)
+SELECT surt_key,
+       regexp_extract(surt_key, '^([^)]*)\)', 1) AS host_rev,
+       CASE WHEN old_digest IS NULL THEN 'added'
+            WHEN new_digest IS NULL THEN 'removed'
+            WHEN old_digest = new_digest THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_digest, new_digest
+FROM lo FULL JOIN ln USING (surt_key)
+""",
+    # q97: schedule-fairness Gini — replays queries.q97_schedule_fairness
+    # / monitoring.schedule_fairness (blocked rank formula over the
+    # per-host-total value histogram).
+    "q97_schedule_fairness": r"""
+WITH s AS (
+  SELECT 'h' || (l_orderkey % 500) || '.example.com' AS host,
+         l_quantity::BIGINT AS w
+  FROM lineitem
+),
+ph AS (SELECT host, sum(w)::BIGINT AS c FROM s GROUP BY host),
+h AS (SELECT c, count(*)::BIGINT AS m FROM ph GROUP BY c),
+cum AS (SELECT c, m, sum(m) OVER (ORDER BY c) AS cum_m FROM h),
+t AS (
+  SELECT sum(m)::BIGINT AS n_hosts, sum(c * m)::BIGINT AS total,
+         sum(c * (2 * m * (cum_m - m + 1) + m * (m - 1)))::BIGINT AS a
+  FROM cum
+)
+SELECT n_hosts, total,
+       ((1000000 * (a - (n_hosts + 1) * total))
+        // (n_hosts * total))::BIGINT AS gini_ppm
+FROM t
+""",
     # q30_crawl_rounds: iterative crawl — no SQL oracle (rows-only check);
     # exact order/seen-set parity is asserted by tests/test_crawl_engine.py.
 }

@@ -1496,6 +1496,112 @@ def q92_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_counts(docs, "doc_id", "text", n_merges=8)
 
 
+def q93_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase query with a repeated-word phrase over a corpus
+    where every 4th doc gets an appended tail containing two OVERLAPPING
+    occurrences ("frontier crawl frontier crawl frontier" matches
+    "frontier crawl frontier" at token offsets 0 AND 2) — the case a
+    non-positional index (q63/q88) cannot answer and non-overlapping
+    substring counting undercounts."""
+    from .ops.retrieval import phrase_search
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    tail = F.when(d % 4 == 0,
+                  F.lit(" frontier crawl frontier crawl frontier")) \
+        .when(d % 4 == 1, F.lit(" frontier crawl engine")) \
+        .otherwise(F.lit(""))
+    corpus = docs.select("doc_id", F.concat("text", tail).alias("text"))
+    return phrase_search(corpus, "frontier crawl frontier")
+
+
+def q94_word_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram-LM fluency scores: LM trained on the even
+    half of the corpus, odd half scored (so unseen bigrams genuinely
+    back off); every 10th scored doc gets an appended out-of-vocabulary
+    token to exercise the unseen-unigram -> 0 branch."""
+    from .ops.textstats import stupid_backoff_scores
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    train = docs.filter(d % 2 == 0)
+    score = docs.filter(d % 2 == 1).select(
+        "doc_id",
+        F.concat("text", F.when(d % 10 == 1,
+                                F.concat(F.lit(" zzoov"),
+                                         (d % 7).cast("string")))
+                 .otherwise(F.lit(""))).alias("text"))
+    return stupid_backoff_scores(train, score)
+
+
+def q95_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language p50/p90/p99 document token counts via the
+    value-histogram plan (corpus report ground truth, q64's exact
+    companion) — never a corpus-width sort."""
+    from .ops.dedup import tokens_col
+    from .ops.sketches import exact_group_quantiles
+
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    lens = docs.select("lang",
+                       F.size(tokens_col(F.col("text"))).alias("n_tokens"))
+    out = exact_group_quantiles(lens, "lang", "n_tokens")
+    return out.select("lang", "n",
+                      F.col("p50").cast("long").alias("p50"),
+                      F.col("p90").cast("long").alias("p90"),
+                      F.col("p99").cast("long").alias("p99"))
+
+
+def q96_cdx_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl CDX diff: old snapshot has duplicate captures
+    per key (latest must win); the new crawl drops every 10th key
+    (removed), rewrites every 10th+1 (changed), adds a fresh key block
+    (added), and re-serves the rest byte-identical (unchanged)."""
+    from .functions.surt import cdx_delta
+
+    orders = load(spark, sf_dir, "orders")
+    _utc(spark)
+    k = F.col("o_orderkey")
+    key = F.concat(F.lit("com,example,shop"),
+                   (F.col("o_custkey") % 50).cast("string"),
+                   F.lit(")/items/"), k.cast("string"))
+    base = orders.select(k.alias("k"), key.alias("surt_key"),
+                         F.col("o_orderdate").alias("ts"))
+    plain = F.md5(F.col("surt_key"))
+    v2 = F.md5(F.concat(F.col("surt_key"), F.lit("v2")))
+    v3 = F.md5(F.concat(F.col("surt_key"), F.lit("v3")))
+    old = (base.select("surt_key", "ts", plain.alias("digest"))
+           .unionByName(
+               base.filter(F.col("k") % 5 == 0)
+               .select("surt_key",
+                       (F.col("ts") + F.expr("INTERVAL 1 DAY"))
+                       .alias("ts"), v2.alias("digest"))))
+    new = (base.filter(F.col("k") % 10 != 0)
+           .select("surt_key", "ts",
+                   F.when(F.col("k") % 10 == 1, v3)
+                   .when(F.col("k") % 5 == 0, v2)
+                   .otherwise(plain).alias("digest"))
+           .unionByName(
+               base.filter(F.col("k") % 7 == 0)
+               .select(F.concat(F.lit("net,fresh)/p/"),
+                                F.col("k").cast("string"))
+                       .alias("surt_key"), "ts", plain.alias("digest"))))
+    return cdx_delta(old, new)
+
+
+def q97_schedule_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Gini of the scheduled-fetch share per host (quantity
+    -weighted so per-host totals collide into blocks — the tie-cancelling
+    path): one monitored row, value-histogram plan, no host-width sort."""
+    from .monitoring import schedule_fairness
+
+    li = load(spark, sf_dir, "lineitem")
+    sched = li.select(
+        F.concat(F.lit("h"), (F.col("l_orderkey") % 500).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.col("l_quantity").cast("long").alias("w"))
+    return schedule_fairness(sched, "host", "w")
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -2032,5 +2138,10 @@ QUERIES = {
     "q90_fuzzy_decontamination": q90_fuzzy_decontamination,
     "q91_temperature_mix": q91_temperature_mix,
     "q92_bpe_encode": q92_bpe_encode,
+    "q93_phrase_search": q93_phrase_search,
+    "q94_word_lm": q94_word_lm,
+    "q95_length_quantiles": q95_length_quantiles,
+    "q96_cdx_delta": q96_cdx_delta,
+    "q97_schedule_fairness": q97_schedule_fairness,
     "q30_crawl_rounds": q30_crawl_rounds,
 }
