@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "q85_surprisal_buckets",
     "q86_bpe_merges",
     "q87_winnowing",
+    "q88_bm25_topk",
+    "q93_phrase_search",
+    "q94_word_lm",
+    "q96_cdx_delta",
+    "q99_ngram_risk",
 ]
 
 from datascrapexter_spark.benchjob import (  # noqa: E402

@@ -439,5 +439,5 @@ def schedule_fairness(scheduled: DataFrame, host_col: str = "host",
         F.sum(contrib).alias("_a"))
         .select("n_hosts", "total",
                 F.expr("(1000000 * (_a - (n_hosts + 1) * total))"
-                       " div (n_hosts * total)")
+                       " div nullif(n_hosts * total, 0)")
                 .cast("long").alias("gini_ppm")))

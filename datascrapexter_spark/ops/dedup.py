@@ -1599,3 +1599,52 @@ def fuzzy_decontaminate(
     return pairs.select(F.col("id_corpus").alias(id_col),
                         F.col("id_new").alias("benchmark_id"),
                         "jaccard")
+
+
+def ngram_risk_scores(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 8,
+                      min_freq: int = 2) -> DataFrame:
+    """Per-document memorization-risk score: the ppm fraction of a
+    document's word n-gram INSTANCES whose n-gram occurs >= min_freq
+    times corpus-wide — the Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") duplicated-substring exposure,
+    gauged at fixed n instead of via suffix arrays. q69 removes
+    repeated spans; this SCORES residual duplication per doc (rank the
+    corpus by it, gate the tail) without mutating text.
+
+    Scale shape (100 TB corpus):
+    - ONE scan -> n-gram Generate; each shingle immediately collapses
+      to its 60-bit md5-slice key (codegen), so every exchange carries
+      BIGINTs, never 8-gram strings.
+    - the (doc, key) instance table is persisted for its two consumers
+      (corpus-frequency groupBy + the scoring join) — the q43 lesson.
+    - frequency table is key-width; the scoring join is instance ⋈
+      key-width equi-join; per-doc rollup is the final shrink. With a
+      frequency CAP the hot keys are exactly the ones kept (freq >=
+      min_freq is a count, not a payload), so no skew salt is needed:
+      the join key distribution IS the corpus duplication histogram,
+      and AQE skew-join splits any mega-duplicated key.
+    - docs shorter than n tokens contribute their single short shingle
+      (shingles_col contract — no document silently drops out).
+
+    Returns (id, n_instances, n_risky, risk_ppm).
+    """
+    sh = (docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles_col(F.lower(F.col(text_col)), n)).alias("_s"))
+        .select("_id",
+                F.conv(F.substring(F.md5("_s"), 1, 15), 16, 10)
+                .cast("long").alias("_k"))
+        .persist())
+    freq = sh.groupBy("_k").agg(F.count(F.lit(1)).alias("_f"))
+    per_doc = (sh.join(freq, "_k")
+               .groupBy("_id")
+               .agg(F.count(F.lit(1)).alias("n_instances"),
+                    F.sum((F.col("_f") >= min_freq).cast("long"))
+                    .alias("n_risky")))
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        F.col("n_instances").cast("long").alias("n_instances"),
+        F.col("n_risky").cast("long").alias("n_risky"),
+        F.expr("(1000000 * n_risky) div n_instances").cast("long")
+        .alias("risk_ppm"))

@@ -900,3 +900,55 @@ def stupid_backoff_scores(train_docs: DataFrame, score_docs: DataFrame,
                     .alias("sum_ppm"),
                     F.coalesce(F.expr("sum_ppm div n_bigrams"), F.lit(0))
                     .cast("long").alias("avg_ppm")))
+
+
+def corpus_diff_keywords(a_docs: DataFrame, b_docs: DataFrame, k: int = 20,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Corpus-diff keywords: the tokens most over-represented in corpus
+    A relative to corpus B (per direction), the mix-auditing question
+    "what did this gate/source actually change" (Monroe et al. 2008
+    "Fightin' Words" asks it with log-odds; this is the exact-integer
+    rate form the oracle discipline allows — same ranking intent, no
+    transcendentals).
+
+    Per token: rate_ppm = (1_000_000 * count) div total (per corpus),
+    diff_ppm = a_ppm - b_ppm, lift_milli = (1000 * (a_ppm + 1)) div
+    (b_ppm + 1) (add-one so unseen-in-B tokens rank by A rate instead
+    of dividing by zero). Top-k per direction by |diff_ppm| desc, token
+    asc tie-break; `direction` marks 'a' (over-represented in A) or
+    'b'.
+
+    Scale shape: one scan per corpus -> token groupBy (map-side
+    combinable, vocab-width); full-outer vocab-width equi-join; totals
+    are 1-row broadcasts on a constant key; the two top-k's are
+    TakeOrderedAndProject (k rows to the driver, never a global sort).
+    """
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return (df.select(F.explode(
+            tokens_col(F.lower(F.col(text_col)))).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias(name)))
+    ca = counts(a_docs, "a_n")
+    cb = counts(b_docs, "b_n")
+    ta = ca.agg(F.sum("a_n").alias("a_t")).withColumn("_k", F.lit(1))
+    tb = cb.agg(F.sum("b_n").alias("b_t")).withColumn("_k", F.lit(1))
+    j = (ca.join(cb, "token", "full_outer")
+         .select("token",
+                 F.coalesce("a_n", F.lit(0)).alias("a_n"),
+                 F.coalesce("b_n", F.lit(0)).alias("b_n"))
+         .withColumn("_k", F.lit(1))
+         .join(F.broadcast(ta), "_k").join(F.broadcast(tb), "_k")
+         .withColumn("a_ppm", F.expr("(1000000 * a_n) div a_t"))
+         .withColumn("b_ppm", F.expr("(1000000 * b_n) div b_t"))
+         .withColumn("diff_ppm", F.col("a_ppm") - F.col("b_ppm"))
+         .withColumn("lift_milli",
+                     F.expr("(1000 * (a_ppm + 1)) div (b_ppm + 1)")))
+    cols = ["token", "a_n", "b_n", "a_ppm", "b_ppm", "diff_ppm",
+            "lift_milli"]
+    top_a = (j.filter(F.col("diff_ppm") > 0)
+             .orderBy(F.desc("diff_ppm"), F.asc("token")).limit(k)
+             .select(F.lit("a").alias("direction"), *cols))
+    top_b = (j.filter(F.col("diff_ppm") < 0)
+             .orderBy(F.asc("diff_ppm"), F.asc("token")).limit(k)
+             .select(F.lit("b").alias("direction"), *cols))
+    return top_a.unionByName(top_b)

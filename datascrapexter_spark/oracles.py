@@ -3096,6 +3096,131 @@ SELECT n_hosts, total,
         // (n_hosts * total))::BIGINT AS gini_ppm
 FROM t
 """,
+    # q98: corpus-diff keywords — replays queries.q98_corpus_diff /
+    # ops/textstats.corpus_diff_keywords (ppm rates, add-one lift,
+    # top-k per direction with (diff, token) total order).
+    "q98_corpus_diff": r"""
+WITH atk AS (
+  SELECT CASE WHEN t2 = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(t2, '[ \t\n\r]+') END AS toks
+  FROM (SELECT regexp_replace(
+          lower(text) || ' alpha' || (doc_id % 5) || ' shared',
+          '^[ \t\n\r]+|[ \t\n\r]+$', '') AS t2
+        FROM documents WHERE doc_id % 2 = 0)
+),
+btk AS (
+  SELECT CASE WHEN t2 = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(t2, '[ \t\n\r]+') END AS toks
+  FROM (SELECT regexp_replace(
+          lower(text) || ' beta' || (doc_id % 5) || ' shared',
+          '^[ \t\n\r]+|[ \t\n\r]+$', '') AS t2
+        FROM documents WHERE doc_id % 2 = 1)
+),
+ca AS (SELECT token, count(*)::BIGINT AS a_n
+       FROM (SELECT unnest(toks) AS token FROM atk) GROUP BY token),
+cb AS (SELECT token, count(*)::BIGINT AS b_n
+       FROM (SELECT unnest(toks) AS token FROM btk) GROUP BY token),
+ta AS (SELECT sum(a_n)::BIGINT AS a_t FROM ca),
+tb AS (SELECT sum(b_n)::BIGINT AS b_t FROM cb),
+j AS (
+  SELECT token, COALESCE(a_n, 0) AS a_n, COALESCE(b_n, 0) AS b_n
+  FROM ca FULL JOIN cb USING (token)
+),
+r AS (
+  SELECT token, a_n, b_n,
+         (1000000 * a_n) // (SELECT a_t FROM ta) AS a_ppm,
+         (1000000 * b_n) // (SELECT b_t FROM tb) AS b_ppm
+  FROM j
+),
+rr AS (
+  SELECT token, a_n, b_n, a_ppm, b_ppm, a_ppm - b_ppm AS diff_ppm,
+         (1000 * (a_ppm + 1)) // (b_ppm + 1) AS lift_milli
+  FROM r
+)
+SELECT * FROM (
+  SELECT 'a' AS direction, token, a_n, b_n,
+         a_ppm::BIGINT AS a_ppm, b_ppm::BIGINT AS b_ppm,
+         diff_ppm::BIGINT AS diff_ppm, lift_milli::BIGINT AS lift_milli
+  FROM rr WHERE diff_ppm > 0
+  ORDER BY diff_ppm DESC, token ASC LIMIT 15)
+UNION ALL
+SELECT * FROM (
+  SELECT 'b' AS direction, token, a_n, b_n,
+         a_ppm::BIGINT, b_ppm::BIGINT, diff_ppm::BIGINT,
+         lift_milli::BIGINT
+  FROM rr WHERE diff_ppm < 0
+  ORDER BY diff_ppm ASC, token ASC LIMIT 15)
+""",
+    # q99: n-gram memorization risk — replays queries.q99_ngram_risk /
+    # ops/dedup.ngram_risk_scores (8-gram instances, 60-bit md5-slice
+    # keys, corpus-frequency >= 2, ppm with truncating div).
+    "q99_ngram_risk": r"""
+WITH c AS (
+  SELECT doc_id, lower(text) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 500000, lower(text) FROM documents WHERE doc_id % 6 = 0
+),
+tk AS (
+  SELECT doc_id,
+         CASE WHEN t2 = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(t2, '[ \t\n\r]+') END AS toks
+  FROM (SELECT doc_id,
+               regexp_replace(text, '^[ \t\n\r]+|[ \t\n\r]+$', '') AS t2
+        FROM c)
+),
+sh AS (
+  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS k
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                 range(1, greatest(len(toks) - 7, 1) + 1),
+                 i -> array_to_string(toks[i:i+7], ' '))) AS s
+        FROM tk)
+),
+f AS (SELECT k, count(*)::BIGINT AS fr FROM sh GROUP BY k)
+SELECT doc_id, count(*)::BIGINT AS n_instances,
+       sum((fr >= 2)::BIGINT)::BIGINT AS n_risky,
+       ((1000000 * sum((fr >= 2)::BIGINT)) // count(*))::BIGINT
+         AS risk_ppm
+FROM sh JOIN f USING (k)
+GROUP BY doc_id
+""",
+    # q100: sitemap coverage audit — replays queries.q100_sitemap_coverage
+    # / sources/sitemap.sitemap_coverage (distinct sides, full-outer url
+    # join, per-host counters + coverage ppm).
+    "q100_sitemap_coverage": r"""
+WITH l AS (
+  SELECT DISTINCT 'https://shop' || (o_custkey % 30)
+         || '.example.org/o/' || o_orderkey AS url
+  FROM orders WHERE o_orderkey % 3 <> 0
+),
+c AS (
+  SELECT DISTINCT url FROM (
+    SELECT 'https://shop' || (o_custkey % 30) || '.example.org/o/'
+           || o_orderkey AS url
+    FROM orders WHERE o_orderkey % 2 <> 0
+    UNION ALL
+    SELECT 'https://shop' || (o_custkey % 30) || '.example.org/extra/'
+           || o_orderkey AS url
+    FROM orders WHERE o_orderkey % 11 = 0)
+),
+j AS (
+  SELECT COALESCE(l.url, c.url) AS url,
+         (l.url IS NOT NULL)::INT AS li, (c.url IS NOT NULL)::INT AS ci
+  FROM l FULL JOIN c ON l.url = c.url
+),
+g AS (
+  SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+         sum(li)::BIGINT AS n_listed, sum(li * ci)::BIGINT AS n_crawled,
+         sum(li * (1 - ci))::BIGINT AS n_missed,
+         sum((1 - li) * ci)::BIGINT AS n_unlisted
+  FROM j GROUP BY host
+)
+SELECT host, n_listed, n_crawled, n_missed, n_unlisted,
+       COALESCE(CASE WHEN n_listed > 0
+                     THEN (1000000 * n_crawled) // n_listed END,
+                0)::BIGINT AS coverage_ppm
+FROM g
+""",
     # q30_crawl_rounds: iterative crawl — no SQL oracle (rows-only check);
     # exact order/seen-set parity is asserted by tests/test_crawl_engine.py.
 }

@@ -1602,6 +1602,59 @@ def q97_schedule_fairness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schedule_fairness(sched, "host", "w")
 
 
+def q98_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-diff keywords between the even-id and odd-id halves, each
+    salted with half-specific marker tokens (alphaN / betaN) plus a
+    shared token — the markers must dominate their direction's top-k
+    while the shared vocabulary cancels out."""
+    from .ops.textstats import corpus_diff_keywords
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    mark = lambda p: F.concat(F.col("text"), F.lit(f" {p}"),
+                              (d % 5).cast("string"), F.lit(" shared"))
+    a = docs.filter(d % 2 == 0).select("doc_id", mark("alpha").alias("text"))
+    b = docs.filter(d % 2 == 1).select("doc_id", mark("beta").alias("text"))
+    return corpus_diff_keywords(a, b, k=15)
+
+
+def q99_ngram_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memorization-risk ppm over a corpus where every 6th document also
+    appears verbatim under a shifted id — those docs' 8-gram instances
+    all become corpus-frequent and must score ~1e6 ppm while unique
+    docs score 0."""
+    from .ops.dedup import ngram_risk_scores
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    dup = docs.filter(d % 6 == 0).select((d + 500000).alias("doc_id"),
+                                         "text")
+    return ngram_risk_scores(docs.unionByName(dup), n=8, min_freq=2)
+
+
+def q100_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-vs-crawl coverage audit: the publisher lists every order
+    URL except each third; the crawl captured every second plus a
+    non-listed /extra/ block — per-host listed/crawled/missed/unlisted
+    counters and coverage ppm."""
+    from .sources.sitemap import sitemap_coverage
+
+    orders = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    url = F.concat(F.lit("https://shop"),
+                   (F.col("o_custkey") % 30).cast("string"),
+                   F.lit(".example.org/o/"), k.cast("string"))
+    listed = orders.filter(k % 3 != 0).select(url.alias("loc"))
+    crawled = (orders.filter(k % 2 != 0).select(url.alias("url"))
+               .unionByName(
+                   orders.filter(k % 11 == 0).select(
+                       F.concat(F.lit("https://shop"),
+                                (F.col("o_custkey") % 30).cast("string"),
+                                F.lit(".example.org/extra/"),
+                                k.cast("string")).alias("url"))))
+    return sitemap_coverage(listed, crawled)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -2143,5 +2196,8 @@ QUERIES = {
     "q95_length_quantiles": q95_length_quantiles,
     "q96_cdx_delta": q96_cdx_delta,
     "q97_schedule_fairness": q97_schedule_fairness,
+    "q98_corpus_diff": q98_corpus_diff,
+    "q99_ngram_risk": q99_ngram_risk,
+    "q100_sitemap_coverage": q100_sitemap_coverage,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

@@ -94,3 +94,54 @@ def changefreq_hours_col(changefreq: Column) -> Column:
         cond = changefreq == k
         expr = F.when(cond, v) if expr is None else expr.when(cond, v)
     return expr.otherwise(F.lit(None).cast("int"))
+
+
+def sitemap_coverage(listed: DataFrame, crawled: DataFrame,
+                     listed_url_col: str = "loc",
+                     crawled_url_col: str = "url",
+                     host_col: str | None = None) -> DataFrame:
+    """Sitemap-vs-crawl coverage audit per host: how much of what the
+    publisher listed did the crawl actually capture, and how much of
+    the capture the publisher never listed — the two drift directions a
+    crawl operator watches (stale sitemaps vs discovery leakage). The
+    reference stores sitemap URLs only as seeds (internal/config types);
+    the audit join is engine extension surface like the revisit planner.
+
+    Per host: n_listed, n_crawled (listed ∩ crawled), n_missed (listed
+    only), n_unlisted (crawled only), coverage_ppm = 1e6 * n_crawled
+    div n_listed (0 when nothing listed).
+
+    Scale shape: both sides collapse to DISTINCT url (key-width,
+    map-side combinable) -> ONE full-outer url equi-join (bucketed at
+    rest in practice — the url_seen pattern) -> host-width groupBy of
+    three boolean counters. Host defaults to the URL authority parsed
+    by one regexp (codegen) — pass ``host_col`` when a canonical host
+    column already exists.
+    """
+    def side(df: DataFrame, col: str, mark: str) -> DataFrame:
+        out = df.select(F.col(col).alias("url"),
+                        *( [F.col(host_col).alias("_h")] if host_col
+                           else [] ))
+        return out.distinct().withColumn(mark, F.lit(1))
+    lo = side(listed, listed_url_col, "_listed")
+    cr = side(crawled, crawled_url_col, "_crawled")
+    on = ["url"] + (["_h"] if host_col else [])
+    j = lo.join(cr, on, "full_outer")
+    host = (F.col("_h") if host_col
+            else F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/?#]+)",
+                                  1))
+    agg = (j.select(host.alias("host"),
+                    F.coalesce("_listed", F.lit(0)).alias("l"),
+                    F.coalesce("_crawled", F.lit(0)).alias("c"))
+           .groupBy("host")
+           .agg(F.sum("l").cast("long").alias("n_listed"),
+                F.sum(F.col("l") * F.col("c")).cast("long")
+                .alias("n_crawled"),
+                F.sum(F.col("l") * (F.lit(1) - F.col("c"))).cast("long")
+                .alias("n_missed"),
+                F.sum((F.lit(1) - F.col("l")) * F.col("c")).cast("long")
+                .alias("n_unlisted")))
+    return agg.withColumn(
+        "coverage_ppm",
+        F.coalesce(F.expr("(1000000 * n_crawled) div nullif(n_listed, 0)"),
+                   F.lit(0)).cast("long"))
