@@ -146,8 +146,9 @@ def phrase_search(docs: DataFrame, phrase: str, id_col: str = "doc_id",
       first, no corpus-width exchange anywhere.
     - repeated words inside the phrase are handled by the multi-vote
       map (each token instance votes once per slot it could fill), and
-      counting DISTINCT slot indexes per start keeps overlapping
-      occurrences exact.
+      (doc, start, slot) rows are unique by construction so a plain
+      count equals the distinct-slot count, and overlapping
+      occurrences stay exact.
     """
     words = phrase.lower().split()
     n = len(words)
@@ -170,11 +171,15 @@ def phrase_search(docs: DataFrame, phrase: str, id_col: str = "doc_id",
     votes = tok.select(
         "_id", "pos",
         F.explode(F.element_at(slot_map, F.col("token"))).alias("slot"))
+    # (doc, start, slot) rows are UNIQUE by construction (pos = start +
+    # slot is determined, and a token matches a slot's word at most
+    # once), so a plain count equals the distinct-slot count — dodging
+    # count_distinct's extra Expand + exchange
     starts = (votes.select("_id", (F.col("pos") - F.col("slot"))
                            .alias("start"), "slot")
               .filter(F.col("start") >= 0)
               .groupBy("_id", "start")
-              .agg(F.count_distinct("slot").alias("n_slots")))
+              .agg(F.count(F.lit(1)).alias("n_slots")))
     return (starts.filter(F.col("n_slots") == n)
             .groupBy("_id")
             .agg(F.count(F.lit(1)).alias("n_matches"))
