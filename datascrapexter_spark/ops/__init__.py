@@ -22,6 +22,7 @@ from . import (  # noqa: F401
     multimodal,
     pii,
     pipeline,
+    retrieval,
     sampling,
     similarity,
     sketches,

@@ -34,6 +34,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Iteration-state lineage cut. localCheckpoint by default (fast,
+    executor-storage-pinned), upgraded to a RELIABLE checkpoint whenever
+    the session has a checkpoint dir configured
+    (``sc.setCheckpointDir``): a multi-hour 100-TB dedup loop that loses
+    one executor should resume from HDFS/S3 state instead of dying (the
+    round-4 verdict's localCheckpoint caveat — recovery traded for
+    lineage bounds is now an operator choice, not a hard-coding)."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 # ---------------------------------------------------------------------------
 # tokenization / shingling (shared, oracle-reproducible)
 # ---------------------------------------------------------------------------
@@ -916,18 +931,16 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
     final left join against the converged pair-node labels. Per-round
     cost is O(|pairs|) at ANY corpus size.
     """
-    edges = (
+    edges = _cut_lineage(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # edges are symmetric, so `src` alone covers every paired node
-    labels = (
+    labels = _cut_lineage(
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         nbr = (
@@ -941,8 +954,8 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                 F.least(F.col("label"),
                         F.coalesce("nbr_min", F.col("label")))
                 .alias("new_label"))
-            .localCheckpoint(eager=True)
         )
+        upd = _cut_lineage(upd)
         n_changed = upd.filter(F.col("new_label") != F.col("label")).count()
         labels = upd.select("node", F.col("new_label").alias("label"))
         if n_changed == 0:
@@ -982,8 +995,8 @@ def _star_labels(edges: DataFrame, max_iters: int = 100) -> DataFrame:
     e = (edges.filter(F.col("src") != F.col("dst"))
          .select(F.greatest("src", "dst").alias("u"),
                  F.least("src", "dst").alias("v"))
-         .distinct()
-         .localCheckpoint(eager=True))
+         .distinct())
+    e = _cut_lineage(e)
 
     def _fingerprint(d: DataFrame):
         row = d.agg(
@@ -1018,8 +1031,8 @@ def _star_labels(edges: DataFrame, max_iters: int = 100) -> DataFrame:
                  .select(F.col("v").alias("u"), F.col("m").alias("v"))
                  .filter(F.col("u") != F.col("v"))
                  .unionByName(smins.select("u", F.col("m").alias("v")))
-                 .distinct()
-                 .localCheckpoint(eager=True))
+                 .distinct())
+        small = _cut_lineage(small)
         new_fp = _fingerprint(small)
         e = small
         if new_fp == fp:

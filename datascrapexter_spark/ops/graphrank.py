@@ -25,7 +25,7 @@ Scale notes (100 TB / 10^10 nodes):
   the (much smaller) rank table shuffles per iteration. At rest you'd bucket
   edges by src (same layout as the url_seen bucketed table,
   frontier/state.py) to remove even that one-time shuffle.
-- per-iteration lineage is cut with localCheckpoint every
+- per-iteration lineage is cut every
   ``checkpoint_every`` iterations so long runs don't accumulate a
   1000-stage plan.
 - fixed-point micro-units bound: rank mass is n * 1e6; a node's in-contrib
@@ -36,6 +36,7 @@ Scale notes (100 TB / 10^10 nodes):
 
 from __future__ import annotations
 
+from .dedup import _cut_lineage
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -98,7 +99,7 @@ def pagerank_micro(nodes: DataFrame, edges: DataFrame, iters: int = 5,
                           f" div {SCALE}")).cast("long").alias("rank_micro"))
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
-            ranks = ranks.localCheckpoint()
+            ranks = _cut_lineage(ranks)
     return ranks
 
 
@@ -126,7 +127,7 @@ def pagerank_double(nodes: DataFrame, edges: DataFrame, iters: int = 5,
                      ).alias("rank"))
         )
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
-            ranks = ranks.localCheckpoint()
+            ranks = _cut_lineage(ranks)
     return ranks
 
 
@@ -231,7 +232,9 @@ def hits_micro(nodes: DataFrame, edges: DataFrame, iters: int = 4,
     tables shuffle. The per-phase max is a 1-row driver scalar
     (bounded collect) inlined as a literal into the next plan, which
     doubles as the iteration barrier every synchronous HITS needs.
-    Lineage is cut with localCheckpoint every ``checkpoint_every``
+    Lineage is cut (dedup._cut_lineage: localCheckpoint, or a
+    reliable checkpoint when the session configures a dir) every
+    ``checkpoint_every``
     iterations.
 
     Returns (node, hub_micro, auth_micro).
@@ -264,8 +267,8 @@ def hits_micro(nodes: DataFrame, edges: DataFrame, iters: int = 4,
                         F.expr(f"({SCALE} * hraw) div {hmax}")
                         .cast("long").alias("hub_micro"))
         if (it + 1) % checkpoint_every == 0 and it + 1 < iters:
-            h = h.localCheckpoint()
-            a = a.localCheckpoint()
+            h = _cut_lineage(h)
+            a = _cut_lineage(a)
     return (base
             .join(h, "node", "left")
             .join(a, "node", "left")

@@ -111,3 +111,34 @@ def test_coverage_distinct_and_host_col(spark):
     r = sitemap_coverage(listed, crawled, host_col="h").collect()[0]
     assert (r["host"], r["n_listed"], r["n_crawled"]) == ("a.com", 1, 1)
     assert r["coverage_ppm"] == 1_000_000
+
+
+# ------------------------------------------- reliable-checkpoint seam
+
+
+def test_cc_reliable_checkpoint_seam(spark, tmp_path):
+    import os
+
+    from datascrapexter_spark.ops.dedup import connected_components
+
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(8)])
+    pairs = spark.createDataFrame(
+        [Row(id_a=0, id_b=1), Row(id_a=1, id_b=2), Row(id_a=5, id_b=6)])
+    base = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(nodes, pairs).collect()}
+    sc = spark.sparkContext
+    ckdir = str(tmp_path / "ck")
+    sc.setCheckpointDir(ckdir)
+    try:
+        rel = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(nodes, pairs).collect()}
+    finally:
+        # reset to "no dir configured" so later tests keep the
+        # localCheckpoint default ($eq setter needs getattr — the $ is
+        # not valid Python attribute syntax)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None))
+    assert rel == base == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+    # reliable checkpoint files actually landed in the configured dir
+    found = [fn for _, _, files in os.walk(ckdir) for fn in files]
+    assert found, "no reliable checkpoint data written"
