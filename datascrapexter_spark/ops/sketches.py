@@ -118,8 +118,12 @@ def exact_group_quantiles(df: DataFrame, group_col: str, value_col: str,
     """
     from pyspark.sql import Window
 
+    # null values are EXCLUDED by contract: Spark windows order nulls
+    # first, DuckDB/ANSI last — inside the running sum that divergence
+    # would silently shift every cut, so nulls don't enter the histogram
     hist = (df.select(F.col(group_col).alias("_g"),
                       F.col(value_col).alias("_v"))
+            .filter(F.col("_v").isNotNull())
             .groupBy("_g", "_v").agg(F.count(F.lit(1)).alias("_c")))
     w = (Window.partitionBy("_g").orderBy("_v")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))

@@ -176,3 +176,13 @@ def test_gini_unweighted_counts_rows(spark):
     expect = (1_000_000 * sum((2 * (i + 1) - n - 1) * x
                               for i, x in enumerate(xs))) // (n * s)
     assert r["gini_ppm"] == expect
+
+
+def test_quantiles_nulls_excluded(spark):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [Row(g="x", v=1), Row(g="x", v=3)]).unionByName(
+        spark.range(2).select(F.lit("x").alias("g"),
+                              F.lit(None).cast("long").alias("v")))
+    r = exact_group_quantiles(df, "g", "v").collect()[0]
+    assert r["n"] == 2 and (r["p50"], r["p99"]) == (1, 3)
