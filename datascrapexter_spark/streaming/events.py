@@ -165,6 +165,87 @@ def adaptive_rate_stream(fetch_events: DataFrame, pol=None,
     )
 
 
+CHANGE_STATE_SCHEMA = T.StructType([
+    T.StructField("last_digest", T.StringType()),
+    T.StructField("n_fetches", T.LongType()),
+    T.StructField("n_changes", T.LongType()),
+])
+
+CHANGE_OUT_SCHEMA = T.StructType([
+    T.StructField("url", T.StringType()),
+    T.StructField("n_fetches", T.LongType()),
+    T.StructField("n_changes", T.LongType()),
+    T.StructField("batch_changes", T.LongType()),
+    T.StructField("change_rate_micro", T.LongType()),
+])
+
+
+def change_detect_stream(captures: DataFrame, url_col: str = "url",
+                         digest_col: str = "digest", order_cols=("ts",),
+                         state_timeout_ms: int = 0) -> DataFrame:
+    """Streaming change detection: the streaming twin of the batch
+    revisit planner (frontier/revisit.revisit_priority, q50). Each
+    capture stream row is (url, digest, ts...); per-URL GroupState
+    carries (last_digest, n_fetches, n_changes) across micro-batches
+    and query restarts, so the Cho/Garcia-Molina change-rate estimate
+    updates CONTINUOUSLY instead of per nightly batch — the engine's
+    recrawl priorities follow the live crawl.
+
+    change_rate_micro uses the exact q50 integer rule:
+    (1e6 * n_changes) div (n_fetches - 1), 500000 (prior) while only
+    one fetch has been seen. Rows inside a micro-batch are applied in
+    ``order_cols`` order (ascending, digest tiebreak appended) so the
+    state transition is deterministic under any shuffle arrivals.
+
+    State: one (str, long, long) per URL — the streaming state store
+    holds the same url-keyed rows the batch url_seen table does,
+    RocksDB-backed at cluster scale; ``state_timeout_ms`` evicts URLs
+    that stop being fetched (ProcessingTimeTimeout).
+    Output mode "update".
+    """
+    timeout = "ProcessingTimeTimeout" if state_timeout_ms else "NoTimeout"
+    ocols = list(order_cols)
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last, n_f, n_c = (state.get if state.exists else (None, 0, 0))
+        batch_changes = 0
+        rows = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(ocols + [digest_col], kind="mergesort")
+            for d in pdf[digest_col]:
+                rows += 1
+                if last is not None and d != last:
+                    n_c += 1
+                    batch_changes += 1
+                last = d
+            n_f += len(pdf)
+        if rows == 0:
+            return
+        state.update((last, n_f, n_c))
+        if state_timeout_ms:
+            state.setTimeoutDuration(state_timeout_ms)
+        rate = (1_000_000 * n_c) // (n_f - 1) if n_f > 1 else 500_000
+        yield pd.DataFrame([{
+            "url": key[0], "n_fetches": n_f, "n_changes": n_c,
+            "batch_changes": batch_changes,
+            "change_rate_micro": rate,
+        }])
+
+    return (
+        captures.groupBy(url_col)
+        .applyInPandasWithState(
+            update, CHANGE_OUT_SCHEMA, CHANGE_STATE_SCHEMA, "update",
+            timeout)
+    )
+
+
 def streaming_dedup(stream: DataFrame, content_cols: list[str],
                     ts_col: str = "ts",
                     watermark: str = "2 hours") -> DataFrame:

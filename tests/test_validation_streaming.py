@@ -199,3 +199,57 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert {r["event_id"] for r in got if r["event_type"] == "click"} == {5}
     assert [r["event_id"] for r in got
             if (r["event_type"], r["props"]) == ("view", "A")][0] in (1, 2, 4)
+
+
+def test_streaming_change_detection_state(spark, tmp_path):
+    """Streaming revisit twin (q50's rule, live): per-URL digest state
+    carries across micro-batches and restarts; in-batch rows apply in
+    ts order so the transition count is deterministic.
+
+    Batch 1: u1 digests a->b (1 change over 2 fetches), u2 a (prior).
+    Batch 2 (fresh drain, same checkpoint): u1 b->c (change must count
+    from RESTORED digest b), u2 a again (no change)."""
+    import os
+
+    from datascrapexter_spark.streaming.events import change_detect_stream
+
+    src = str(tmp_path / "captures")
+    ckpt = str(tmp_path / "ckpt_chg")
+    os.makedirs(src, exist_ok=True)
+    schema = "url string, digest string, ts long"
+
+    def drain():
+        rows = []
+
+        def sink(batch_df, _bid):
+            rows.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = change_detect_stream(stream)
+        q = (out.writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return {r["url"]: r for r in rows}
+
+    spark.createDataFrame(
+        [("u1", "a", 1), ("u1", "b", 2), ("u2", "a", 1)], schema
+    ).write.mode("append").parquet(src)
+    got1 = drain()
+    assert got1["u1"]["n_fetches"] == 2 and got1["u1"]["n_changes"] == 1
+    assert got1["u1"]["change_rate_micro"] == 1_000_000
+    assert got1["u2"]["n_fetches"] == 1
+    assert got1["u2"]["change_rate_micro"] == 500_000  # single-fetch prior
+
+    spark.createDataFrame(
+        [("u1", "c", 3), ("u2", "a", 2)], schema
+    ).write.mode("append").parquet(src)
+    got2 = drain()
+    # u1: restored digest 'b' -> 'c' is a change; 2 changes over 3 fetches
+    assert got2["u1"]["n_fetches"] == 3 and got2["u1"]["n_changes"] == 2
+    assert got2["u1"]["batch_changes"] == 1
+    assert got2["u1"]["change_rate_micro"] == 1_000_000
+    # u2: same digest -> no change; rate (1e6*0)//(2-1) = 0
+    assert got2["u2"]["n_changes"] == 0
+    assert got2["u2"]["change_rate_micro"] == 0
