@@ -184,3 +184,48 @@ def phrase_search(docs: DataFrame, phrase: str, id_col: str = "doc_id",
             .groupBy("_id")
             .agg(F.count(F.lit(1)).alias("n_matches"))
             .select(F.col("_id").alias(id_col), "n_matches"))
+
+
+def proximity_search(docs: DataFrame, w1: str, w2: str, slop: int = 3,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Ordered proximity query (Lucene ordered-span / NEAR semantics):
+    per document, the number of position pairs where ``w2`` occurs
+    AFTER ``w1`` within ``slop`` tokens (1 = adjacent). Sits between
+    phrase_search (exact adjacency) and bm25_topk (bag-of-words) —
+    the retrieval primitive for "terms co-occur closely" corpus audits.
+
+    Returns (doc_id, n_pairs) for documents with >= 1 qualifying pair.
+
+    Scale shape: ONE corpus scan; the posexplode Generate is cut by the
+    two-word literal in-set (codegen — no join); a single (doc) groupBy
+    collects the two sorted position arrays (occurrence-count-width),
+    and the pair count is a higher-order-function fold over them —
+    no self-join, no second exchange. Pair counting is O(occ1 x occ2)
+    per doc but only over the two words' occurrences; the count is
+    collect-order-independent, so the value is deterministic under any
+    partitioning.
+    """
+    a, b = w1.lower(), w2.lower()
+    if not a or not b:
+        raise ValueError("both words required")
+    if slop < 1:
+        raise ValueError("slop must be >= 1")
+    tok = (docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens_col(F.lower(F.col(text_col))))
+        .alias("pos", "token"))
+        .filter(F.col("token").isin([a, b])))
+    agg = tok.groupBy("_id").agg(
+        F.sort_array(F.collect_list(
+            F.when(F.col("token") == a, F.col("pos")))).alias("_p1"),
+        F.sort_array(F.collect_list(
+            F.when(F.col("token") == b, F.col("pos")))).alias("_p2"))
+    n = F.aggregate(
+        "_p2", F.lit(0),
+        lambda acc, p2: acc + F.size(F.filter(
+            F.col("_p1"),
+            lambda p1: (p2 - p1 >= 1) & (p2 - p1 <= slop))))
+    return (agg.select(F.col("_id").alias(id_col),
+                       n.cast("long").alias("n_pairs"))
+            .filter(F.col("n_pairs") > 0))

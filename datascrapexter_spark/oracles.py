@@ -3221,6 +3221,42 @@ SELECT host, n_listed, n_crawled, n_missed, n_unlisted,
                 0)::BIGINT AS coverage_ppm
 FROM g
 """,
+    # q101: ordered proximity search — replays queries.q101_proximity
+    # _search / ops/retrieval.proximity_search (per-doc position pair
+    # count, 1 <= p2 - p1 <= slop).
+    "q101_proximity_search": r"""
+WITH d AS (
+  SELECT doc_id,
+         lower(text) || ' alpha '
+         || COALESCE(array_to_string(
+              list_transform(range(1, (doc_id % 6) + 1), i -> 'fill'),
+              ' '), '')
+         || CASE WHEN doc_id % 6 = 0 THEN '' ELSE ' ' END
+         || 'beta'
+         || CASE WHEN doc_id % 9 = 0 THEN ' alpha beta' ELSE '' END
+           AS text
+  FROM documents
+),
+tk AS (
+  SELECT doc_id,
+         CASE WHEN t2 = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(t2, '[ \t\n\r]+') END AS toks
+  FROM (SELECT doc_id,
+               regexp_replace(text, '^[ \t\n\r]+|[ \t\n\r]+$', '') AS t2
+        FROM d)
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) - 1 AS pos
+  FROM tk
+),
+p1 AS (SELECT doc_id, pos FROM pos WHERE tok = 'alpha'),
+p2 AS (SELECT doc_id, pos FROM pos WHERE tok = 'beta')
+SELECT p1.doc_id, count(*)::BIGINT AS n_pairs
+FROM p1 JOIN p2 ON p1.doc_id = p2.doc_id
+WHERE p2.pos - p1.pos BETWEEN 1 AND 3
+GROUP BY p1.doc_id
+""",
     # q30_crawl_rounds: iterative crawl — no SQL oracle (rows-only check);
     # exact order/seen-set parity is asserted by tests/test_crawl_engine.py.
 }

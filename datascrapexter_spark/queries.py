@@ -1655,6 +1655,26 @@ def q100_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_coverage(listed, crawled)
 
 
+def q101_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered proximity (NEAR/3) query: each doc gets an appended
+    'alpha <fill x (doc_id%6)> beta' tail, so the alpha->beta distance
+    is doc_id%6 + 1 tokens — only distances <= slop=3 qualify, and
+    docs with doc_id%9==0 get a second adjacent pair to count 2."""
+    from .ops.retrieval import proximity_search
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    fill = F.array_repeat(F.lit("fill"), (d % 6).cast("int"))
+    tail = F.concat(F.lit(" alpha "),
+                    F.array_join(fill, " "),
+                    F.when(d % 6 == 0, F.lit("")).otherwise(F.lit(" ")),
+                    F.lit("beta"),
+                    F.when(d % 9 == 0, F.lit(" alpha beta"))
+                    .otherwise(F.lit("")))
+    corpus = docs.select("doc_id", F.concat("text", tail).alias("text"))
+    return proximity_search(corpus, "alpha", "beta", slop=3)
+
+
 def q15_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs word-3-gram Jaccard >= 0.6 via shingle equi-join."""
     aug = _augmented_docs(spark, sf_dir)
@@ -2199,5 +2219,6 @@ QUERIES = {
     "q98_corpus_diff": q98_corpus_diff,
     "q99_ngram_risk": q99_ngram_risk,
     "q100_sitemap_coverage": q100_sitemap_coverage,
+    "q101_proximity_search": q101_proximity_search,
     "q30_crawl_rounds": q30_crawl_rounds,
 }

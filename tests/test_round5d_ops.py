@@ -142,3 +142,56 @@ def test_cc_reliable_checkpoint_seam(spark, tmp_path):
     # reliable checkpoint files actually landed in the configured dir
     found = [fn for _, _, files in os.walk(ckdir) for fn in files]
     assert found, "no reliable checkpoint data written"
+
+
+# ------------------------------------------------- proximity search
+
+
+def test_proximity_ordered_within_slop(spark):
+    from datascrapexter_spark.ops.retrieval import proximity_search
+
+    docs = _docs(spark, [(1, "alpha x beta"),        # distance 2
+                         (2, "alpha x y z beta"),    # distance 4 > slop
+                         (3, "beta alpha"),          # wrong order
+                         (4, "alpha beta alpha beta")])
+    out = {r["doc_id"]: r["n_pairs"]
+           for r in proximity_search(docs, "alpha", "beta", slop=3)
+           .collect()}
+    # doc4: a@0->b@1 (1), a@0->b@3 (3), a@2->b@3 (1) = 3 pairs
+    assert out == {1: 1, 4: 3}
+
+
+def test_proximity_parity_random(spark):
+    import random
+
+    from datascrapexter_spark.ops.retrieval import proximity_search
+
+    rng = random.Random(101)
+    docs = [(i, " ".join(rng.choice(["a", "b", "x"])
+                         for _ in range(rng.randint(0, 14))))
+            for i in range(250)]
+
+    def count(t, slop=3):
+        toks = t.split()
+        return sum(1 for i, x in enumerate(toks) if x == "a"
+                   for j in range(i + 1, min(i + slop + 1, len(toks)))
+                   if toks[j] == "b")
+
+    expect = {i: count(t) for i, t in docs if count(t) > 0}
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    got = {r["doc_id"]: r["n_pairs"]
+           for r in proximity_search(df, "a", "b", slop=3).collect()}
+    assert got == expect
+
+
+def test_proximity_validation(spark):
+    from datascrapexter_spark.ops.retrieval import proximity_search
+
+    docs = _docs(spark, [(1, "x")])
+    for bad in [("", "b", 3), ("a", "b", 0)]:
+        try:
+            proximity_search(docs, bad[0], bad[1], slop=bad[2])
+        except ValueError:
+            pass
+        else:
+            raise AssertionError(f"must raise for {bad}")
