@@ -429,15 +429,23 @@ def schedule_fairness(scheduled: DataFrame, host_col: str = "host",
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = hist.withColumn("_cum_m", F.sum("_m").over(w))
     # block start s = cum_m - m + 1 (1-based ascending rank)
-    contrib = (F.col("_c") *
+    contrib = (F.col("_c").cast("decimal(38,0)") *
                (F.lit(2) * F.col("_m") * (F.col("_cum_m") - F.col("_m")
                                           + F.lit(1))
                 + F.col("_m") * (F.col("_m") - F.lit(1))))
+    # decimal(38,0) intermediates: the numerator reaches ~1e6 * n * total,
+    # which silently wraps a BIGINT (ANSI off) at the documented 10^8-host
+    # scale with realistic fetch totals (round-5 advice fix). `div` on
+    # decimals yields the identical integer for every in-range value, so
+    # fixture results are bit-unchanged.
+    contrib_dec = contrib.cast("decimal(38,0)")
     return (cum.agg(
         F.sum(F.col("_m")).cast("long").alias("n_hosts"),
         F.sum(F.col("_c") * F.col("_m")).cast("long").alias("total"),
-        F.sum(contrib).alias("_a"))
+        F.sum(contrib_dec).alias("_a"))
         .select("n_hosts", "total",
-                F.expr("(1000000 * (_a - (n_hosts + 1) * total))"
-                       " div nullif(n_hosts * total, 0)")
+                F.expr("(1000000 * (_a - (cast(n_hosts as decimal(38,0))"
+                       " + 1) * total))"
+                       " div nullif(cast(n_hosts as decimal(38,0))"
+                       " * total, 0)")
                 .cast("long").alias("gini_ppm")))

@@ -42,7 +42,16 @@ def _cut_lineage(df: DataFrame) -> DataFrame:
     (``sc.setCheckpointDir``): a multi-hour 100-TB dedup loop that loses
     one executor should resume from HDFS/S3 state instead of dying (the
     round-4 verdict's localCheckpoint caveat — recovery traded for
-    lineage bounds is now an operator choice, not a hard-coding)."""
+    lineage bounds is now an operator choice, not a hard-coding).
+
+    Retention (round-5 advice): reliable checkpoints are NOT deleted per
+    iteration here — the caller's previous DataFrame may still be
+    referenced, and deleting under it would break recovery. Long loops
+    with a checkpoint dir MUST run with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so each
+    superseded iteration's files are GC'd when its DataFrame goes out of
+    scope; otherwise every iteration's edges/labels copy accumulates for
+    the application lifetime."""
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isDefined():
         return df.checkpoint(eager=True)
@@ -322,8 +331,43 @@ def minhash_lsh_pairs(
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    sig = minhash_signature(df, id_col, text_col, n, num_hashes,
-                            max_shingle_doc_freq)
+    if max_shingle_doc_freq is None:
+        # Fast path (r06): ONE corpus scan total. The per-doc distinct
+        # shingle array is materialized once with its md5 digest arrays and
+        # persisted; signatures are array_min over digest slices (identical
+        # min over the identical per-doc distinct shingle set — no explode,
+        # no groupBy exchange), and the verification arrays read the same
+        # cache. The old shape scanned + re-shingled the corpus three times
+        # (signature explode + both verification sides) and re-hashed every
+        # (doc, shingle) row through the signature aggregate's exchange.
+        n_dig = (num_hashes + 3) // 4
+        dig = F.transform(
+            "sh",
+            lambda x: F.array(
+                *[F.md5(F.concat(x, F.lit(f"#{k}"))) for k in range(n_dig)]),
+        )
+        doc_sh = (
+            df.select(F.col(id_col),
+                      F.array_distinct(shingles_col(text_col, n)).alias("sh"))
+            .filter(F.col("sh").isNotNull())
+            .withColumn("dig", dig)
+            .persist()
+        )
+        def _hmin(s: int) -> Column:
+            return F.array_min(F.transform(
+                "dig", lambda a: F.substring(a[s // 4], 1 + 8 * (s % 4), 8)))
+
+        sig = doc_sh.select(
+            F.col(id_col),
+            *[_hmin(s).alias(f"h{s}") for s in range(num_hashes)],
+        )
+    else:
+        sig = minhash_signature(df, id_col, text_col, n, num_hashes,
+                                max_shingle_doc_freq)
+        doc_sh = df.select(
+            F.col(id_col),
+            F.array_distinct(shingles_col(text_col, n)).alias("sh"),
+        )
     buckets = _band_buckets(sig, id_col, num_hashes, bands)
     a = buckets.select(F.col(id_col).alias("id_a"), "band", "key")
     b = buckets.select(F.col(id_col).alias("id_b"), "band", "key")
@@ -336,14 +380,7 @@ def minhash_lsh_pairs(
 
     # exact verification of candidates only — per-doc distinct-shingle
     # ARRAYS joined to the candidate pairs, overlap via array_intersect
-    # (hash-set intersection, codegen). This replaces the shingle-exploded
-    # two-join + groupBy shape: only candidate docs' arrays shuffle, and
-    # the corpus text is scanned twice total (signatures + verification)
-    # instead of four times.
-    doc_sh = df.select(
-        F.col(id_col),
-        F.array_distinct(shingles_col(text_col, n)).alias("sh"),
-    )
+    # (hash-set intersection, codegen); only candidate docs' arrays shuffle.
     sh_a = doc_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = doc_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     common = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -791,11 +828,26 @@ def simhash_pairs(
 def cosine_sim_col(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<double> columns — pure expressions
     (sequential fold => deterministic summation order)."""
+    return cosine_from_norms(a, b, norm_col(a), norm_col(b))
+
+
+def norm_col(v: Column) -> Column:
+    """L2 norm as the exact fold cosine_sim_col evaluates — factoring it
+    out (compute once per VECTOR, not once per PAIR) is bit-identical
+    because the expression tree is unchanged."""
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_from_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine with caller-supplied norms: dot(a,b) / (na * nb). With na/nb
+    from `norm_col` this equals cosine_sim_col bitwise (IEEE multiply is
+    commutative; the division is the same single operation) while letting
+    pair-scoring joins fold ONLY the dot product — the r06 optimization
+    for every HOF cosine (interpreted, no codegen CSE: each fold removed
+    is real per-pair work)."""
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
     return dot / (na * nb)
 
 
@@ -816,11 +868,17 @@ def embedding_neardup_pairs(
 
     Output: (id_a, id_b, cos double), id_a < id_b.
     """
-    a = df.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vb"))
+    v = df.select(F.col(id_col).alias("_id"),
+                  as_double_array(vec_col).alias("_v"))
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+                 norm_col(F.col("_v")).alias("_na"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+                 norm_col(F.col("_v")).alias("_nb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = cosine_from_norms(F.col("va"), F.col("vb"),
+                            F.col("_na"), F.col("_nb"))
     return (
-        pairs.withColumn("cos", cosine_sim_col(F.col("va"), F.col("vb")))
+        pairs.withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
@@ -870,10 +928,15 @@ def embedding_neardup_pairs_lsh(
             for s in range(n_plane_sets)
         ]
     )
+    # r06: the bucket table is persisted — its SRP fold (n_plane_sets x
+    # n_planes interpreted dot products per vector) has two join-side
+    # consumers and Spark shares no subtrees, so it would otherwise be
+    # computed twice per corpus scan. Norms factored per vector
+    # (bit-identical; see cosine_from_norms).
     buckets = v.select(
         "_id", F.explode(bucket_structs).alias("bk")
     ).select("_id", F.col("bk.pset").alias("pset"),
-             F.col("bk.bucket").alias("bucket"))
+             F.col("bk.bucket").alias("bucket")).persist()
     a = buckets.select(F.col("_id").alias("id_a"), "pset", "bucket")
     b = buckets.select(F.col("_id").alias("id_b"), "pset", "bucket")
     cand = (
@@ -882,12 +945,16 @@ def embedding_neardup_pairs_lsh(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    va = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+                  norm_col(F.col("_v")).alias("_na"))
+    vb = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+                  norm_col(F.col("_v")).alias("_nb"))
+    cos = cosine_from_norms(F.col("va"), F.col("vb"),
+                            F.col("_na"), F.col("_nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos", cosine_sim_col(F.col("va"), F.col("vb")))
+        .withColumn("cos", cos)
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )

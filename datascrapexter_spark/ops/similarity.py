@@ -31,7 +31,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import as_double_array, cosine_sim_col
+from .dedup import as_double_array, cosine_from_norms, cosine_sim_col, norm_col
 
 
 def srp_plane(plane: int, dim: int) -> list[float]:
@@ -80,11 +80,14 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias("qid"), as_double_array(vec_col).alias("qv")
-    )
+    ).withColumn("_nq", norm_col(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("cid"), as_double_array(vec_col).alias("cv")
-    )
-    cos = cosine_sim_col(F.col("qv"), F.col("cv"))
+    ).withColumn("_nc", norm_col(F.col("cv")))
+    # norms factored per vector (bit-identical; corpus norm once per row
+    # instead of once per (row, query) pair)
+    cos = cosine_from_norms(F.col("qv"), F.col("cv"),
+                            F.col("_nq"), F.col("_nc"))
     if round_to is not None:
         cos = F.round(cos, round_to)
     scored = c.join(F.broadcast(q)).withColumn("cos", cos)
@@ -116,13 +119,14 @@ def ann_topk_lsh(
         F.col(id_col).alias("qid"),
         as_double_array(vec_col).alias("qv"),
         lsh_bucket_col(vec_col, dim, n_planes).alias("bucket"),
-    )
+    ).withColumn("_nq", norm_col(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("cid"),
         as_double_array(vec_col).alias("cv"),
         lsh_bucket_col(vec_col, dim, n_planes).alias("bucket"),
-    )
-    cos = cosine_sim_col(F.col("qv"), F.col("cv"))
+    ).withColumn("_nc", norm_col(F.col("cv")))
+    cos = cosine_from_norms(F.col("qv"), F.col("cv"),
+                            F.col("_nq"), F.col("_nc"))
     if round_to is not None:
         cos = F.round(cos, round_to)
     scored = c.join(F.broadcast(q), "bucket").withColumn("cos", cos)
@@ -360,24 +364,59 @@ def _centroid_array(cents: list[list[float]]) -> Column:
     ])
 
 
+def _exact_norm(v: list[float]) -> float:
+    """sqrt(sum x*x) with the SAME left-to-right IEEE accumulation order
+    and correctly-rounded sqrt the executor-side fold
+    (`sqrt(aggregate(v, 0.0, acc + x*x))`) evaluates — bit-identical, so
+    a driver-computed centroid norm can replace the per-row re-fold."""
+    import math
+
+    s = 0.0
+    for x in v:
+        s += x * x
+    return math.sqrt(s)
+
+
 def assign_cells_col(vec: Column, cents: list[list[float]],
                      round_to: int = 6) -> Column:
     """Nearest-centroid cell id, per row, zero shuffle: one fold over the
     centroid literal array (ties -> smaller cell, matching a
     (cos DESC, cell ASC) rank). At 2^14+ centroids swap this for an
     Arrow-batched numpy argmax (matrix multiply) — the contract (cell id
-    per vector) is unchanged."""
-    acc0 = F.struct(F.lit(-2.0).alias("cos"), F.lit(-1).alias("cell"))
+    per vector) is unchanged.
+
+    r06: the row norm rides in the fold's INIT accumulator (evaluated
+    once) and centroid norms are driver-computed literals (`_exact_norm`
+    — bit-identical to the executor fold), so each of the n_centroids
+    steps evaluates only its dot product instead of re-folding both
+    norms: 3n folds per row -> n+1."""
+    acc0 = F.struct(
+        F.lit(-2.0).alias("cos"), F.lit(-1).alias("cell"),
+        F.sqrt(F.aggregate(vec, F.lit(0.0),
+                           lambda acc, x: acc + x * x)).alias("na"),
+    )
+    arr = F.array(*[
+        F.struct(
+            F.lit(i).alias("cell"),
+            F.array(*[F.lit(float(x)) for x in c]).alias("cvec"),
+            F.lit(_exact_norm(c)).alias("cnorm"),
+        )
+        for i, c in enumerate(cents)
+    ])
 
     def step(a, s):
-        cos = F.round(cosine_sim_col(vec, s["cvec"]), round_to)
+        dot = F.aggregate(
+            F.zip_with(vec, s["cvec"], lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+        cos = F.round(dot / (a["na"] * s["cnorm"]), round_to)
         better = cos > a["cos"]
         return F.struct(
             F.when(better, cos).otherwise(a["cos"]).alias("cos"),
             F.when(better, s["cell"]).otherwise(a["cell"]).alias("cell"),
+            a["na"].alias("na"),
         )
 
-    return F.aggregate(_centroid_array(cents), acc0, step)["cell"]
+    return F.aggregate(arr, acc0, step)["cell"]
 
 
 def ivf_topk(
@@ -424,7 +463,10 @@ def ivf_topk(
         .select("qid", "qv", F.col("_c.cell").alias("cell"))
     )
 
-    cos = cosine_sim_col(F.col("qv"), F.col("cv"))
+    c = c.withColumn("_nc", norm_col(F.col("cv")))
+    probes = probes.withColumn("_nq", norm_col(F.col("qv")))
+    cos = cosine_from_norms(F.col("qv"), F.col("cv"),
+                            F.col("_nq"), F.col("_nc"))
     if round_to is not None:
         cos = F.round(cos, round_to)
     scored = c.join(F.broadcast(probes), "cell").withColumn("cos", cos)
@@ -472,17 +514,31 @@ def semantic_dedup_flags(
     """
     cents = train_centroids(corpus, id_col, vec_col, n_centroids,
                             n_iters=train_iters)
+    # r06: the vector norm is computed ONCE per row at assignment time and
+    # persisted; the in-cell O(cell^2) pair scoring then folds only the dot
+    # product. sqrt(sum x*x) is the identical expression cosine_sim_col
+    # evaluates (same fold order, same sqrt), so dot/(na*nb) is
+    # bit-identical to the inlined form — 3 interpreted HOF folds per pair
+    # become 1, on the operator's dominant stage.
+    norm = F.sqrt(F.aggregate(F.col("_v"), F.lit(0.0),
+                              lambda acc, x: acc + x * x))
     assigned = (
         corpus.select(F.col(id_col).alias("_id"),
                       as_double_array(vec_col).alias("_v"))
         .withColumn("cell", assign_cells_col(F.col("_v"), cents, round_to))
+        .withColumn("_nrm", norm)
         .persist()
     )
     left = assigned.select("cell", F.col("_id").alias("_ida"),
-                           F.col("_v").alias("_va"))
+                           F.col("_v").alias("_va"),
+                           F.col("_nrm").alias("_na"))
     right = assigned.select("cell", F.col("_id").alias("_idb"),
-                            F.col("_v").alias("_vb"))
-    cos = F.round(cosine_sim_col(F.col("_va"), F.col("_vb")), round_to)
+                            F.col("_v").alias("_vb"),
+                            F.col("_nrm").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.round(dot / (F.col("_na") * F.col("_nb")), round_to)
     losers = (
         left.join(right, "cell")
         .filter(F.col("_idb") < F.col("_ida"))

@@ -930,8 +930,14 @@ def corpus_diff_keywords(a_docs: DataFrame, b_docs: DataFrame, k: int = 20,
             .groupBy("token").agg(F.count(F.lit(1)).alias(name)))
     ca = counts(a_docs, "a_n")
     cb = counts(b_docs, "b_n")
-    ta = ca.agg(F.sum("a_n").alias("a_t")).withColumn("_k", F.lit(1))
-    tb = cb.agg(F.sum("b_n").alias("b_t")).withColumn("_k", F.lit(1))
+    # coalesce(total, 1): an EMPTY corpus side has sum() = NULL, which
+    # would null every ppm and silently drop both directions' rows; with
+    # total 1 the non-empty side still ranks (round-5 advice fix — no
+    # effect on any non-empty corpus).
+    ta = (ca.agg(F.coalesce(F.sum("a_n"), F.lit(1)).alias("a_t"))
+          .withColumn("_k", F.lit(1)))
+    tb = (cb.agg(F.coalesce(F.sum("b_n"), F.lit(1)).alias("b_t"))
+          .withColumn("_k", F.lit(1)))
     j = (ca.join(cb, "token", "full_outer")
          .select("token",
                  F.coalesce("a_n", F.lit(0)).alias("a_n"),

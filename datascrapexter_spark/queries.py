@@ -30,8 +30,56 @@ from .ops import dedup, graphrank, similarity, textstats
 EMB_DIM = 64
 
 
+def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Scale-adaptive scan-parallelism floor (guide §2.5 "input skew" /
+    §6 input split size).
+
+    The testdata tables are single-file, single-row-group parquet, so a
+    scan yields ONE input split and every expression pipelined above it
+    (shingle md5, simhash bit folds, SURT regexes, gram Generates, Arrow
+    UDF crossings) runs on one core until the first Exchange — measured
+    as the dominant cost of most catalog queries at bench scale. A
+    round-robin repartition to cluster parallelism immediately above the
+    scan frees that stage.
+
+    Scale guard: the repartition is added ONLY when the input cannot
+    already feed the cluster (fewer files than cores AND total bytes
+    below cores x maxPartitionBytes). A 100-TB corpus (thousands of
+    >=128 MB files) takes the no-op branch — an unconditional
+    repartition there would be a pure extra corpus-width exchange.
+    Non-local filesystems where the cheap size probe fails also take the
+    no-op branch (conservative: at cluster scale inputs are many-file).
+    Results are partitioning-independent: every catalog query is a
+    deterministic function of the row SET (oracle-gated rows+hash).
+    """
+    par = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+        if len(files) >= par:
+            return df
+        total = 0
+        for f in files:
+            if f.startswith("file:"):
+                f = f[5:]
+                while f.startswith("//"):
+                    f = f[1:]
+            total += os.path.getsize(f)
+    except Exception:
+        return df
+    try:
+        max_split = int(spark.conf.get(
+            "spark.sql.files.maxPartitionBytes",
+            str(128 * 1024 * 1024)).lower().rstrip("b"))
+    except ValueError:
+        max_split = 128 * 1024 * 1024  # "128m"-style values: safe default
+    if total >= par * max_split or total < 64 * 1024:
+        return df
+    return df.repartition(par * 2)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+    return _spread(df, spark)
 
 
 def _utc(spark: SparkSession) -> None:

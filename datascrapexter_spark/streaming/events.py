@@ -214,20 +214,24 @@ def change_detect_stream(captures: DataFrame, url_col: str = "url",
             return
         last, n_f, n_c = (state.get if state.exists else (None, 0, 0))
         batch_changes = 0
-        rows = 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(ocols + [digest_col], kind="mergesort")
-            for d in pdf[digest_col]:
-                rows += 1
-                if last is not None and d != last:
-                    n_c += 1
-                    batch_changes += 1
-                last = d
-            n_f += len(pdf)
-        if rows == 0:
+        # Materialize the WHOLE group before sorting: applyInPandasWithState
+        # chunks a group's micro-batch at arrow.maxRecordsPerBatch, and
+        # sorting each chunk separately would apply state transitions in
+        # chunk-arrival order — nondeterministic for a hot URL spanning
+        # chunks (round-5 advice fix). One concat + one sort keeps the
+        # documented "deterministic under any shuffle arrivals" contract.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
             return
+        rows_df = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True)
+        rows_df = rows_df.sort_values(ocols + [digest_col], kind="mergesort")
+        for d in rows_df[digest_col]:
+            if last is not None and d != last:
+                n_c += 1
+                batch_changes += 1
+            last = d
+        n_f += len(rows_df)
         state.update((last, n_f, n_c))
         if state_timeout_ms:
             state.setTimeoutDuration(state_timeout_ms)

@@ -92,6 +92,45 @@ def test_registered_domain():
     assert registered_domain("localhost") == "localhost"
 
 
+def test_fast_split_matches_urlsplit_reference():
+    """The r06 regex fast path in _normalize_split must be bit-identical
+    to the urlsplit-based reference on adversarial inputs (IPv6 brackets,
+    userinfo, control chars, empty components, junk) — any shape the
+    regex cannot represent exactly must FALL BACK, never approximate."""
+    import random
+    import string
+    from urllib.parse import urlsplit
+
+    from datascrapexter_spark.functions import urlnorm
+
+    def ref_split(raw):
+        try:
+            u = urlsplit(raw)
+        except ValueError:
+            return raw, None
+        netloc = u.netloc.lower()
+        return urlnorm._normalize_parts(
+            u.scheme.lower(), netloc, u.path, u.query), netloc
+
+    rng = random.Random(7)
+    chars = (string.ascii_letters + string.digits
+             + ":/?#[]@!$&'()*+,;=%.-_~ \t\n\\^`{}|<>\"")
+    cases = []
+    for i in range(4000):
+        cases.append("".join(rng.choice(chars)
+                             for _ in range(rng.randrange(0, 60))))
+        host = rng.choice(["WWW.Ex.COM", "ex.com:443", "ex.com:80",
+                           "[::1]:8080", "user:pw@Ex.com", "ex.com.",
+                           "[bad", "x[y].com", ""])
+        path = rng.choice(["a/b/", "a//b", "%7Euser", "a b", ""])
+        q = rng.choice(["a=1&b=2", "utm_source=x&a=1", "a=%20&A=+",
+                        "ref=5", "x", "=v", "a=1&a=0", ""])
+        scheme = rng.choice(["http", "HTTPS", "https", "ftp", "HtTp"])
+        cases.append(f"{scheme}://{host}/{path}?{q}#frag{i % 7}")
+    for c in cases:
+        assert urlnorm._normalize_split(c) == ref_split(c), repr(c)
+
+
 def test_spark_udf_parity(spark):
     """Arrow-batched UDFs must agree with the pure functions."""
     from pyspark.sql import functions as F
