@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _cut_lineage(df: DataFrame) -> DataFrame:
+def _cut_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Iteration-state lineage cut. localCheckpoint by default (fast,
     executor-storage-pinned), upgraded to a RELIABLE checkpoint whenever
     the session has a checkpoint dir configured
@@ -54,8 +54,8 @@ def _cut_lineage(df: DataFrame) -> DataFrame:
     the application lifetime."""
     sc = df.sparkSession.sparkContext
     if sc._jsc.sc().getCheckpointDir().isDefined():
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 # ---------------------------------------------------------------------------
@@ -784,7 +784,10 @@ def simhash_pairs(
         raise ValueError("bits must be divisible by chunks")
     width = bits // chunks
     mask = (1 << width) - 1
-    sh = simhash_df(df, id_col, text_col, bits)
+    # r06: both join sides consume the fingerprint table and Spark shares
+    # no subtrees — persist it or the token explode + 32-way bit-sum
+    # aggregation runs twice per corpus
+    sh = simhash_df(df, id_col, text_col, bits).persist()
     chunk_structs = F.array(
         *[
             F.struct(
@@ -806,17 +809,20 @@ def simhash_pairs(
     b = buckets.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "ckey"
     )
-    cand = (
-        a.join(b, ["chunk", "ckey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
+    # r06: the hamming verify moved BELOW the pair distinct — bit_count
+    # (xor) is a per-row codegen op on columns the join already carries,
+    # so filtering first shrinks the distinct's exchange from every
+    # same-chunk collision (dense 8-bit buckets -> quadratic-ish) to only
+    # the near-pairs. Same rows out: distinct(filter(x)) == filter(
+    # distinct(x)) for a deterministic per-row predicate.
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        cand.withColumn("hamming", ham.cast("int"))
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 
@@ -1004,8 +1010,11 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
-    # edges are symmetric, so `src` alone covers every paired node
-    labels = _cut_lineage(
+    # edges are symmetric, so `src` alone covers every paired node.
+    # The initial label table's lineage is one distinct over the ALREADY
+    # checkpointed edges — short enough to fold into iteration 1's job
+    # instead of paying its own materialization action (r06).
+    labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
     )
@@ -1022,7 +1031,11 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
                         F.coalesce("nbr_min", F.col("label")))
                 .alias("new_label"))
         )
-        upd = _cut_lineage(upd)
+        # r06: LAZY lineage cut + the change count in ONE action — the
+        # count covers every partition, so it both materializes the
+        # checkpoint and measures convergence; the old eager-cut-then-
+        # count shape paid two driver round-trips per iteration.
+        upd = _cut_lineage(upd, eager=False)
         n_changed = upd.filter(F.col("new_label") != F.col("label")).count()
         labels = upd.select("node", F.col("new_label").alias("label"))
         if n_changed == 0:
@@ -1099,8 +1112,8 @@ def _star_labels(edges: DataFrame, max_iters: int = 100) -> DataFrame:
                  .filter(F.col("u") != F.col("v"))
                  .unionByName(smins.select("u", F.col("m").alias("v")))
                  .distinct())
-        small = _cut_lineage(small)
-        new_fp = _fingerprint(small)
+        small = _cut_lineage(small, eager=False)
+        new_fp = _fingerprint(small)  # one action: materializes + measures
         e = small
         if new_fp == fp:
             break

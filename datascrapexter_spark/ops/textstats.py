@@ -794,8 +794,13 @@ def surprisal_buckets(docs: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
+    # r06: TWO consumers read the scored table (value histogram + the
+    # final bucket join) and Spark shares no subtrees — unpersisted, the
+    # whole per-doc scoring join pipeline ran twice (only the (doc, gram)
+    # base inside char_lm_surprisal was cached). (id, avg_millibits) is
+    # corpus-width but two-column-narrow.
     scored = char_lm_surprisal(docs, id_col, text_col, n=n, model=model) \
-        .select(id_col, "avg_millibits")
+        .select(id_col, "avg_millibits").persist()
     hist = (scored.groupBy("avg_millibits")
             .agg(F.count(F.lit(1)).alias("_c")))
     w = (Window.orderBy("avg_millibits")

@@ -78,8 +78,18 @@ def _spread(df: DataFrame, spark: SparkSession) -> DataFrame:
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
-    return _spread(df, spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{table}.parquet"))
+
+
+def loadw(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """load + scan-parallelism floor — for queries whose per-row work
+    ABOVE the scan (hashing, regexes, Generates, Arrow crossings)
+    dominates. Queries that are one cheap scan + keyed agg/window use
+    plain `load`: for them the spread's extra exchange costs more than
+    single-task decode of a bench-sized file (measured: q01 0.54->1.08 s
+    when spread unconditionally, q10 4.02->1.18 s with it where it
+    belongs)."""
+    return _spread(load(spark, sf_dir, table), spark)
 
 
 def _utc(spark: SparkSession) -> None:
@@ -251,7 +261,7 @@ def q10_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The frontier's canonicalization core (NormalizeURL parity UDF) over
     synthesized raw URLs: mixed-case host, default port, tracking + unsorted
     params, fragment, trailing slash."""
-    orders = load(spark, sf_dir, "orders")
+    orders = loadw(spark, sf_dir, "orders")
     raw = F.concat(
         F.lit("HTTPS://WWW.Shop"),
         (F.col("o_custkey") % 50).cast("string"),
@@ -310,7 +320,7 @@ def _doc_html_col() -> Column:
 def q12_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Config-driven CSS field extraction (the reference's core query):
     one mapInPandas pass, schema derived from the field config at plan time."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadw(spark, sf_dir, "documents")
     pages = docs.select("doc_id", _doc_html_col().alias("html"))
     fields = [
         FieldConfig(name="title", selector="title", type="text"),
@@ -335,7 +345,7 @@ def q12_field_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents UNION a near-duplicate of each doc (one appended token,
     shifted ids) — the dedup-family test corpus, reproducible in SQL."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" qqzz")).alias("text"),
@@ -389,7 +399,7 @@ def q36_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the 'lorem ipsum'/'{' markers (whole-page drop)."""
     from .ops.textstats import c4_clean_cols
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.trim(F.col("text")), " +")
     ng = F.ceil(F.size(toks) / F.lit(8)).cast("int")
     lines = F.transform(
@@ -436,7 +446,7 @@ def q38_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id%3 gets an email, %5 an IP, %7 a phone)."""
     from .ops.pii import pii_count_cols, scrub_col
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     injected = F.concat(
         F.col("text"),
         F.when(F.col("doc_id") % 3 == 0,
@@ -508,7 +518,7 @@ def q41_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     and must NOT count)."""
     from .ops.dedup import contamination_flags
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     injected = F.concat(
         F.col("text"),
         F.when(F.col("doc_id") % 11 == 0,
@@ -538,7 +548,7 @@ def q43_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     free so the oracle reproduces ranks bit-for-bit)."""
     from .ops.textstats import tfidf_topk
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     return tfidf_topk(docs, k=5)
 
 
@@ -564,7 +574,7 @@ def q45_staged_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extract.validation import ValidationRule
     from .ops.pipeline import PipelineConfig, process_pipeline
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadw(spark, sf_dir, "documents")
     pages = docs.select("doc_id", _doc_html_col().alias("html"))
     allowed = [f"SRC{i}" for i in range(20) if i not in (7, 13)]
     dim = spark.createDataFrame(
@@ -604,7 +614,7 @@ def q46_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholded keep/drop with per-document failure reasons."""
     from .ops.textstats import gopher_filter_cols
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     cols = gopher_filter_cols("text")
     return docs.select(
         "doc_id",
@@ -617,7 +627,7 @@ def q47_pagerank_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived link graph over documents, 5 power iterations in exact
     fixed-point micro-units (integer sums are order-independent, so the
     result is bit-identical to the oracle's CTE replay)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadw(spark, sf_dir, "documents")
     n = docs.count()
     edges = graphrank.synth_link_edges(docs, n_nodes=n)
     return graphrank.pagerank_micro(docs, edges, iters=5, node_col="doc_id")
@@ -651,7 +661,7 @@ def q49_surt_cdx(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix, fragment). The oracle re-derives the key independently with
     DuckDB list/regex functions — not a hardcoded expected string."""
     from .functions.surt import cdx_index
-    orders = load(spark, sf_dir, "orders")
+    orders = loadw(spark, sf_dir, "orders")
     raw = F.concat(
         F.when(F.col("o_orderkey") % 2 == 0, F.lit("HTTP://"))
         .otherwise(F.lit("https://")),
@@ -692,7 +702,7 @@ def q51_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the expected labels from the generating formula."""
     from .functions.sniff import sniff_cols
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadw(spark, sf_dir, "documents")
     k = F.col("doc_id") % 10
     s = F.col("doc_id") % 3
     utf8 = F.encode("text", "UTF-8")
@@ -731,7 +741,7 @@ def q52_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     regex/list expressions — not from the generating kind."""
     from .frontier.traps import trap_cols
 
-    orders = load(spark, sf_dir, "orders")
+    orders = loadw(spark, sf_dir, "orders")
     okey = F.col("o_orderkey")
     ckey = F.col("o_custkey")
     url = (
@@ -812,7 +822,7 @@ def q55_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 in-link anchor texts per target (ops/graphrank.anchor_text_topk)
     over edges synthesized from orders with deterministic case/whitespace
     noise, so the normalization path is exercised end-to-end."""
-    orders = load(spark, sf_dir, "orders")
+    orders = loadw(spark, sf_dir, "orders")
     okey = F.col("o_orderkey")
     base = (F.when(okey % 7 == 0, "click here")
             .when(okey % 7 == 1, "read more")
@@ -839,7 +849,7 @@ def q56_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     link density <= 1/3) from the generation formula in SQL."""
     from .extract.content import extract_main_content_df
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadw(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<html><head><title>Doc "), did,
@@ -864,7 +874,7 @@ def q57_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     straight from orders — the whole build+parse chain must invert."""
     from .sources.sitemap import changefreq_hours_col, parse_sitemaps_df
 
-    orders = load(spark, sf_dir, "orders")
+    orders = loadw(spark, sf_dir, "orders")
     okey = F.col("o_orderkey")
     h = (F.col("o_custkey") % 20).cast("string")
     cf = (F.when(okey % 4 == 0, "daily").when(okey % 4 == 1, "weekly")
@@ -957,7 +967,7 @@ def q60_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic page graph: host a links to hosts a, a+1, a+2, a+6
     (mod 7) — exercising internal, reciprocal (offsets 1/6) and
     one-way (offset 2) pairs."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadw(spark, sf_dir, "documents")
     i = F.col("doc_id")
     e = docs.select(i, F.explode(F.sequence(F.lit(0), F.lit(3)))
                     .alias("j"))
@@ -1017,7 +1027,7 @@ def q63_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build (textstats.inverted_index) over documents:
     per-term df / total-tf / doc-sorted postings capped at 16, terms
     appearing in at least 2 documents."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadw(spark, sf_dir, "documents")
     return textstats.inverted_index(docs, min_df=2, max_postings=16)
 
 
@@ -1027,7 +1037,7 @@ def q64_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     registers are integer-exact and oracle-gated; the float readout is
     tested separately for accuracy."""
     from .ops.sketches import hll_registers
-    orders = load(spark, sf_dir, "orders")
+    orders = loadw(spark, sf_dir, "orders")
     urls = orders.select(
         F.concat(F.lit("https://s.ex.com/p/"),
                  (F.col("o_orderkey") % 4096).cast("string")).alias("url"))
@@ -1063,7 +1073,7 @@ def q66_social_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     line collects every og:/twitter: meta into a sorted-key JSON dict
     (first tag wins on duplicates — the consumer rule); scalars pulled
     JVM-side with get_json_object."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit('<html><head><meta property="og:title" content="Doc '), d,
@@ -1096,7 +1106,7 @@ def q67_wet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .extract.content import extract_main_content_df
     from .sources import warc as warcio
 
-    docs = load(spark, sf_dir, "documents")
+    docs = loadw(spark, sf_dir, "documents")
     did = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit("<html><head><title>Doc "), did,
@@ -1131,7 +1141,7 @@ def _hostdocs_with_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     line (q36's rendering), plus a per-host footer injected into 90% of
     each host's docs (above the boilerplate threshold -> stripped) and a
     promo line into ~33% (below it -> kept). host = `source`."""
-    docs = load(spark, sf_dir, "documents").select(
+    docs = loadw(spark, sf_dir, "documents").select(
         "doc_id", F.col("source").alias("host"), "text")
     toks = F.split(F.trim(F.col("text")), " +")
     n_lines = F.floor((F.size(toks) + F.lit(7)) / F.lit(8)).cast("int")
@@ -1168,7 +1178,7 @@ def q69_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     al. 2022): the corpus is documents plus a mutant per doc embedding
     the full original text behind a 2-token intro — every copied span is
     removed from the globally-later occurrence only."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     mutated = docs.select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.lit("intro w"), (F.col("doc_id") % 7).cast("string"),
@@ -1182,7 +1192,7 @@ def q70_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     perplexity step in the repo's integer-exact bit-length form):
     every doc scored by average per-gram surprisal under the LM trained
     on the same corpus."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     return textstats.char_lm_surprisal(docs, "doc_id", "text", n=3)
 
 
@@ -1190,7 +1200,7 @@ def q71_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer vocabulary induction + per-doc OOV rate: fit the top-16
     corpus tokens (count DESC, token ASC — deterministic), score every
     document's out-of-vocabulary ppm against the fitted vocab."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     vocab = textstats.fit_vocabulary(docs, vocab_size=16)
     return textstats.oov_stats(docs, vocab)
 
@@ -1202,7 +1212,7 @@ def q72_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     index — the corpus text is never rescanned; the probe reads only the
     batch's (band, key-prefix) bucket partitions and the candidates'
     shingle shards (PartitionFilters plan-asserted in tests)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     d = F.col("doc_id")
     nid = (d + 200000).alias("doc_id")
     batch = (
@@ -1235,7 +1245,7 @@ def q73_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     where src0-src7 carry ~1/3 degraded pages (low-quality gate) and
     src16-src19 carry ~40% identical mirror pages (dup gate): one
     domain-keyed agg, integer-ppm outputs, broadcast-sized blocklist."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "source", "text")
     d = F.col("doc_id")
     mod = docs.withColumn(
         "text",
@@ -1252,7 +1262,7 @@ def q74_encoding_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     mojibake (doc_id%7), U+FFFD replacement chars (doc_id%11) and a C0
     control byte (doc_id%13): per-doc exact-integer noise counts + ppm +
     keep decision. Pure codegen — replace()-delta counting, no Python."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     d = F.col("doc_id")
     t = F.col("text")
     t = F.when(d % 7 == 0, F.concat(t, F.lit(" cafÃ© said â€™helloâ€™"))).otherwise(t)
@@ -1276,7 +1286,7 @@ def q75_best_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     while its clone stays clean, so the winner is often the larger id —
     the case min-id representatives get wrong. Integer-ppm quality from
     quality_columns; the winner window runs only over pair-graph nodes."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     d = F.col("doc_id")
     base = docs.select(
         "doc_id",
@@ -1301,7 +1311,7 @@ def q76_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-token windows, 4-token overlap, one Generate pass, zero shuffle."""
     from .ops.sampling import chunk_documents
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     return chunk_documents(docs, max_tokens=16, overlap=4)
 
 
@@ -1313,7 +1323,7 @@ def q77_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     decisions content-hash-deterministic (ops.mix.build_training_mix)."""
     from .ops.mix import MixConfig, build_training_mix
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "source", "text")
     cfg = MixConfig(
         min_quality_ppm=500_000, max_noise_ppm=10_000, langs=("en",),
         blocked_domains=("src3", "src7"), domain_col="source",
@@ -1327,7 +1337,7 @@ def q77_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q78_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease in exact integer millipoints (vowel-group
     syllable heuristic, [.!?]+ sentence runs) — pure codegen, one scan."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     rc = textstats.readability_cols("text")
     return docs.select(
         "doc_id",
@@ -1343,7 +1353,7 @@ def q79_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     h1-h6 collected in document order as (level, text) rows — TOC /
     section-chunking structure signal; one mapInPandas crossing, then a
     posexplode back to relational rows."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
     html = F.concat(
         F.lit("<html><body><h1>Title "), d.cast("string"), F.lit("</h1>"),
@@ -1373,7 +1383,7 @@ def q80_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan, one global aggregate, constant-width unpivot."""
     from .ops.mix import corpus_report
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     d = F.col("doc_id")
     base = docs.select(
         "doc_id",
@@ -1387,7 +1397,7 @@ def q81_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 collocations by integer-exact lift (the monotone PMI
     transform): two groupBys + token-keyed rejoins + constant-key N join,
     distributed top-k via orderBy+limit."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     return textstats.collocations(docs, k=20, min_count=5)
 
 
@@ -1406,7 +1416,7 @@ def q83_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the English slice."""
     from .ops.mix import dsir_weights
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     return dsir_weights(docs, docs.filter(F.col("lang") == "en"),
                         n_buckets=1024)
 
@@ -1434,7 +1444,7 @@ def q85_surprisal_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet perplexity tertiles: char-LM surprisal (q70) bucketed into
     head/middle/tail by exact integer rank over the bounded value
     histogram — never a corpus-width sort."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     return textstats.surprisal_buckets(docs, "doc_id", "text", n=3)
 
 
@@ -1447,7 +1457,7 @@ def q86_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     recurrence with generated per-round CTEs."""
     from .ops.bpe import bpe_merges
 
-    docs = load(spark, sf_dir, "documents").select("text")
+    docs = loadw(spark, sf_dir, "documents").select("text")
     return bpe_merges(docs, "text", n_merges=8)
 
 
@@ -1459,7 +1469,7 @@ def q87_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (original, wrapped) pair must surface with high containment
     overlap — the local-similarity case whole-doc MinHash scores low
     and exact fingerprints miss entirely."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     d = F.col("doc_id")
     wrapped = docs.filter(d % 3 == 0).select(
         (d + 300000).alias("doc_id"),
@@ -1478,7 +1488,7 @@ def q88_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     via WindowGroupLimit — never a global sort."""
     from .ops.retrieval import bm25_topk
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     d = F.col("doc_id")
     pages = docs.select(
         "doc_id",
@@ -1497,7 +1507,7 @@ def q89_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS hubs & authorities over the q47 deterministic link
     graph: 4 exact fixed-point iterations in BIGINT micro-units with
     max-normalization — bit-identical to the oracle's CTE replay."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadw(spark, sf_dir, "documents")
     n = docs.count()
     edges = graphrank.synth_link_edges(docs, n_nodes=n)
     return graphrank.hits_micro(docs, edges, iters=4, node_col="doc_id")
@@ -1508,7 +1518,7 @@ def q90_fuzzy_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus docs with an appended answer-key tail (every 50th doc) plus
     wholly novel items that must match nothing — the paraphrase-robust
     companion to q41's exact 8-gram check."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     d = F.col("doc_id")
     bid = (d + 400000).alias("doc_id")
     bench = (
@@ -1540,7 +1550,7 @@ def q92_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     never each occurrence), word-keyed join back to the doc table."""
     from .ops.bpe import bpe_encode_counts
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     return bpe_encode_counts(docs, "doc_id", "text", n_merges=8)
 
 
@@ -1553,7 +1563,7 @@ def q93_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     substring counting undercounts."""
     from .ops.retrieval import phrase_search
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     d = F.col("doc_id")
     tail = F.when(d % 4 == 0,
                   F.lit(" frontier crawl frontier crawl frontier")) \
@@ -1657,7 +1667,7 @@ def q98_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the shared vocabulary cancels out."""
     from .ops.textstats import corpus_diff_keywords
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     d = F.col("doc_id")
     mark = lambda p: F.concat(F.col("text"), F.lit(f" {p}"),
                               (d % 5).cast("string"), F.lit(" shared"))
@@ -1673,7 +1683,7 @@ def q99_ngram_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs score 0."""
     from .ops.dedup import ngram_risk_scores
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     d = F.col("doc_id")
     dup = docs.filter(d % 6 == 0).select((d + 500000).alias("doc_id"),
                                          "text")
@@ -1710,7 +1720,7 @@ def q101_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs with doc_id%9==0 get a second adjacent pair to count 2."""
     from .ops.retrieval import proximity_search
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "text")
     d = F.col("doc_id")
     fill = F.array_repeat(F.lit("fill"), (d % 6).cast("int"))
     tail = F.concat(F.lit(" alpha "),
@@ -1743,14 +1753,14 @@ def q16_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q17_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for the first 10 query vectors."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = loadw(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.cosine_topk(emb, queries, k=5)
 
 
 def q18_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed ANN top-5 (deterministic md5-derived hyperplanes)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = loadw(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ann_topk_lsh(emb, queries, dim=EMB_DIM, k=5, n_planes=8)
 
@@ -1759,7 +1769,7 @@ def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings UNION a deterministic per-dimension perturbation of every
     vector ((1 + ((vec_id+i)%7)/100) scaling, shifted ids) — the near-dup
     test corpus, reproducible in SQL."""
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = loadw(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     v = F.transform(
         "embedding",
         lambda x, i: x.cast("double")
@@ -1800,14 +1810,14 @@ def q23_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q26_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN top-5: deterministic md5-picked centroids, corpus
     inverted-listed by nearest cell, queries probe their 4 nearest cells."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = loadw(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
 
 
 def q27_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality features — one pass, all codegen."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadw(spark, sf_dir, "documents")
     rc = textstats.repetition_columns("text")
     return docs.select(
         "doc_id",
@@ -1823,7 +1833,7 @@ def q28_field_types_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     date layout cascade via the datetime attr, <base href> URL resolution,
     email regex, local-phone regex + digit cleaning (extractor.go:339-630
     semantics), each oracle-checkable from the generating columns."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id")
     day = F.lpad((d % 27 + 1).cast("string"), 2, "0")
     phone4 = F.lpad((d % 10000).cast("string"), 4, "0")
@@ -1859,7 +1869,7 @@ def q29_jsonld_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     dump), scalar fields then pulled JVM-side with get_json_object — the
     reference declares this content processor as a config stub
     (internal/pipeline/components.go:31-42)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "n_chars")
     d = F.col("doc_id").cast("string")
     ld = F.concat(
         F.lit('{"@type":"Product","name":"Doc '), d,
@@ -1886,7 +1896,7 @@ def q32_microdata_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Microdata structured-data extraction (`type: microdata`): an
     itemscope/itemprop product card parsed to the canonical item tree,
     with a nested offer itemscope; scalars pulled back JVM-side."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "n_chars")
     d = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit('<html><body><div itemscope itemtype="https://schema.org/'
@@ -1916,7 +1926,7 @@ def q33_rdfa_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDFa Lite structured-data extraction (`type: rdfa`): vocab +
     typeof/property walker with content-attr precedence, nested typeof
     items."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id", "n_chars")
     d = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit('<html><body vocab="https://schema.org/"><div typeof='
@@ -1945,7 +1955,7 @@ def q33_rdfa_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_media_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media extractor (`type: media`): img/video/audio/source elements
     to uniform (kind, src, alt, ...) maps; counts + first src per page."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = loadw(spark, sf_dir, "documents").select("doc_id")
     d = F.col("doc_id").cast("string")
     html = F.concat(
         F.lit('<html><body><img src="/i/'), d,
@@ -1977,7 +1987,7 @@ def q31_url_security(spark: SparkSession, sf_dir: str) -> DataFrame:
     additive risk score (addIssue weights, :283-296)."""
     from .functions.security import url_risk_columns, url_risk_score_col
 
-    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    cust = loadw(spark, sf_dir, "customer").select("c_custkey")
     k = F.col("c_custkey")
     scheme = (F.when(k % 4 == 1, "http").when(k % 4 == 2, "ftp")
               .otherwise("https"))
@@ -2049,7 +2059,7 @@ def q24_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID, quality scores, token counts, fingerprint — one pass,
     all codegen expressions."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadw(spark, sf_dir, "documents")
     qc = textstats.quality_columns("text")
     return docs.select(
         "doc_id",
@@ -2067,7 +2077,7 @@ def q19_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q20_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload column -> mapInPandas decode
     (deterministic fake codec) -> typed metadata + frame sampling."""
-    docs = load(spark, sf_dir, "documents")
+    docs = loadw(spark, sf_dir, "documents")
     with_payload = docs.select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
