@@ -1513,25 +1513,33 @@ def repeated_span_dedup(df: DataFrame, id_col: str = "doc_id",
                .distinct()
                .groupBy("_id")
                .agg(F.collect_list("tpos").alias("cov")))
-    joined = base.join(covered, "_id", "left")
-    toks2 = tokens_col("_text")
+    # r06: the token array materializes ONCE in a Project BELOW the left
+    # join (a join boundary is a CollapseProject barrier, so the final
+    # Project's many references to _tk cannot re-inline the split — the
+    # same discipline as the Generate in step 1). Surviving positions
+    # come from array_except (hash-set difference, O(n_tokens + |cov|))
+    # instead of the old per-token array_contains(cov, pos) linear scan
+    # (O(n_tokens * |cov|) — quadratic for a fully-covered mutant doc);
+    # idx is distinct and ordered, so array_except keeps exactly the
+    # uncovered positions in order: the same kept set.
+    joined = (base.select("_id", tokens_col("_text").alias("_tk"))
+              .join(covered, "_id", "left"))
+    n = F.size("_tk")
     # guard: sequence(0, -1) DESCENDS in Spark, so empty docs must skip
-    # the zip entirely rather than rely on it producing an empty array
-    empty = F.size(toks2) == 0
-    kept_toks = F.filter(
-        F.arrays_zip(toks2, F.sequence(F.lit(0),
-                                       F.greatest(F.size(toks2) - 1,
-                                                  F.lit(0)))),
-        lambda s: F.when(F.col("cov").isNull(), F.lit(True))
-                   .otherwise(~F.array_contains(F.col("cov"), s["1"])),
-    )
+    # the index build entirely rather than rely on it being empty
+    empty = n == 0
+    idx = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))
+    kept_idx = F.when(F.col("cov").isNull(), idx) \
+        .otherwise(F.array_except(idx, F.col("cov")))
+    kept_toks = F.when(F.col("cov").isNull(), F.col("_tk")).otherwise(
+        F.transform(F.array_except(idx, F.col("cov")),
+                    lambda i: F.element_at(F.col("_tk"), i + F.lit(1))))
     return joined.select(
         F.col("_id").alias(id_col),
-        F.size(toks2).cast("int").alias("n_tokens"),
-        F.when(empty, F.lit(0)).otherwise(F.size(kept_toks))
+        n.cast("int").alias("n_tokens"),
+        F.when(empty, F.lit(0)).otherwise(F.size(kept_idx))
         .cast("long").alias("n_kept"),
-        F.when(empty, F.lit("")).otherwise(
-            F.array_join(F.transform(kept_toks, lambda s: s["0"]), sep))
+        F.when(empty, F.lit("")).otherwise(F.array_join(kept_toks, sep))
         .alias("text"),
     )
 
