@@ -75,7 +75,10 @@ def cdx_index(df: DataFrame, url_col: str = "url", ts_col: str | None = None,
             (F.md5(F.col(payload_col)) if payload_col
              else F.md5(F.col(url_col))).alias("digest"),
             F.col(url_col).alias("url")]
-    out = df.select(*cols)
+    # r06: persist the keyed projection — repartitionByRange SAMPLES its
+    # child to build range bounds, so the regex-heavy SURT derivation
+    # would otherwise execute twice (sampling pass + real pass).
+    out = df.select(*cols).persist()
     ranged = (out.repartitionByRange(num_ranges, "surt_key", "ts", "url")
               if num_ranges else out.repartitionByRange("surt_key", "ts",
                                                         "url"))

@@ -333,34 +333,37 @@ def minhash_lsh_pairs(
         raise ValueError("num_hashes must be divisible by bands")
     if max_shingle_doc_freq is None:
         # Fast path (r06): ONE corpus scan total. The per-doc distinct
-        # shingle array is materialized once with its md5 digest arrays and
-        # persisted; signatures are array_min over digest slices (identical
-        # min over the identical per-doc distinct shingle set — no explode,
-        # no groupBy exchange), and the verification arrays read the same
-        # cache. The old shape scanned + re-shingled the corpus three times
-        # (signature explode + both verification sides) and re-hashed every
-        # (doc, shingle) row through the signature aggregate's exchange.
+        # shingle array materializes once; its md5 digest arrays live in a
+        # SEPARATE projection below the 16 min-slice columns (_dig is
+        # non-cheap and referenced 16 times, so CollapseProject keeps the
+        # Projects apart and each md5 evaluates once per shingle — plan-
+        # asserted in tests). Only the per-DOC minima and the shingle
+        # array persist: nothing shingle-width enters executor storage,
+        # and signatures need no explode / groupBy exchange (identical
+        # min over the identical per-doc distinct shingle set). The old
+        # shape scanned + re-shingled the corpus three times and re-hashed
+        # every (doc, shingle) row through the signature aggregate.
         n_dig = (num_hashes + 3) // 4
         dig = F.transform(
             "sh",
             lambda x: F.array(
                 *[F.md5(F.concat(x, F.lit(f"#{k}"))) for k in range(n_dig)]),
         )
+
+        def _hmin(s: int) -> Column:
+            return F.array_min(F.transform(
+                "_dig", lambda a: F.substring(a[s // 4], 1 + 8 * (s % 4), 8)))
+
         doc_sh = (
             df.select(F.col(id_col),
                       F.array_distinct(shingles_col(text_col, n)).alias("sh"))
             .filter(F.col("sh").isNotNull())
-            .withColumn("dig", dig)
+            .withColumn("_dig", dig)
+            .select(F.col(id_col), "sh",
+                    *[_hmin(s).alias(f"h{s}") for s in range(num_hashes)])
             .persist()
         )
-        def _hmin(s: int) -> Column:
-            return F.array_min(F.transform(
-                "dig", lambda a: F.substring(a[s // 4], 1 + 8 * (s % 4), 8)))
-
-        sig = doc_sh.select(
-            F.col(id_col),
-            *[_hmin(s).alias(f"h{s}") for s in range(num_hashes)],
-        )
+        sig = doc_sh.drop("sh")
     else:
         sig = minhash_signature(df, id_col, text_col, n, num_hashes,
                                 max_shingle_doc_freq)
@@ -1164,10 +1167,15 @@ def best_representative_decisions(docs: DataFrame, pairs: DataFrame,
     """
     # pairs feeds BOTH the component loop (eager checkpoint inside) and
     # pair_nodes below — persist or the pair-producing plan (often a full
-    # minhash pass) executes twice (measured: q75 ~6 s of re-derivation)
+    # minhash pass) executes twice (measured: q75 ~6 s of re-derivation).
+    # r06: docs (two consumers — the winner window input and the final
+    # spine join; its score expression is often a full quality pass over
+    # text) and comp (two keyed-join consumers) persist for the same
+    # reason; both are two-column node-width tables.
     pairs = pairs.persist()
+    docs = docs.select(id_col, score_col).persist()
     comp = connected_components(docs.select(id_col), pairs, id_col,
-                                a_col, b_col)
+                                a_col, b_col).persist()
     pair_nodes = (pairs.select(F.col(a_col).alias(id_col))
                   .unionByName(pairs.select(F.col(b_col).alias(id_col)))
                   .distinct())

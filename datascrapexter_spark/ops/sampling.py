@@ -171,8 +171,13 @@ def take_token_budget(df: DataFrame, budget: int, key_col: str,
         raise ValueError(f"budget must be >= 0, got {budget}")
     from pyspark.sql import Window
 
+    # r06: persist at the fork — the per-bucket sum collect below is its
+    # own action over the ENTIRE upstream pipeline (in q77 that is every
+    # gate + the dedup window), and the caller's final action would run
+    # it all again. One materialization, two cheap reads.
     d = (df.withColumn("_u", hash_unit_col(key_col, seed))
-           .withColumn("_b", F.floor(F.col("_u") * n_buckets).cast("int")))
+           .withColumn("_b", F.floor(F.col("_u") * n_buckets).cast("int"))
+           .persist())
     sums = {r["_b"]: r["s"] for r in
             d.groupBy("_b").agg(F.sum(tokens_col).alias("s")).collect()}
     offsets, running = [], 0
