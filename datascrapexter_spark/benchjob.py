@@ -160,7 +160,10 @@ def frontier_bench(spark: SparkSession, sf_dir: str, mult: int = URL_MULT) -> di
     # the gate lambda — and re-evaluated per reference (measured 2.5x wall
     # on this round; Catalyst does no cross-operator CSE for them).
     # r06: Arrow-native crossing (no pandas layer) — same values as the
-    # canonicalize_struct_udf path, measurably cheaper per URL
+    # canonicalize_struct_udf path, measurably cheaper per URL. (A fully
+    # JVM-codegen canonicalizer for gate-matching URLs was built and
+    # measured 3x SLOWER than this path — interpreted HOF query
+    # machinery; guide §4.2's point in reverse — and reverted.)
     cand = (
         canonicalize_arrow_df(raw, "url")
         .withColumn("url_hash", F.xxhash64("url_canon"))
