@@ -110,6 +110,12 @@ def frontier_bench(spark: SparkSession, sf_dir: str, mult: int = URL_MULT) -> di
         registered_domain,
     )
 
+    # same cache hygiene as the query catalog (queries._fresh): drop any
+    # InMemoryRelation a previous invocation left behind so every round
+    # computes from its inputs (the rules cache below is rebuilt per call,
+    # pre-t0 by design)
+    spark.catalog.clearCache()
+
     raw = raw_urls(spark, sf_dir, mult)
     n_urls = raw.count()
 

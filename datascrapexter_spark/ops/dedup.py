@@ -1506,13 +1506,19 @@ def repeated_span_dedup(df: DataFrame, id_col: str = "doc_id",
                F.md5(F.array_join(F.slice("_toks", F.col("pos") + 1, k),
                                   " ")).alias("h"))
            .withColumn("wkey", F.struct(F.col("_id"), F.col("pos"))))
-    winners = (occ.groupBy("h")
-               .agg(F.min("wkey").alias("wmin"),
-                    F.count(F.lit(1)).alias("c"))
-               .filter(F.col("c") > 1)
-               .select("h", "wmin"))
-    covered = (occ.join(winners, "h")
-               .filter(F.col("wkey") != F.col("wmin"))
+    # r06: per-hash winner/count via ONE window over h instead of the old
+    # aggregate + self-join — the join re-derived the whole occ pipeline
+    # on its probe side (plans share no subtree without an explicit
+    # persist) and broadcast a winners table that is ~half of occ at this
+    # duplication profile. The window needs the same single exchange on h
+    # the aggregate needed, sorts once instead of twice (min over a
+    # struct is sort-based either way), and occ is derived exactly once.
+    # Same values by construction: min/count over the full h-group.
+    hw = Window.partitionBy("h")
+    covered = (occ
+               .withColumn("wmin", F.min("wkey").over(hw))
+               .withColumn("c", F.count(F.lit(1)).over(hw))
+               .filter((F.col("c") > 1) & (F.col("wkey") != F.col("wmin")))
                .select(
                    "_id",
                    F.explode(F.sequence(F.col("pos"),
