@@ -969,10 +969,15 @@ def embedding_neardup_pairs_lsh(
     )
 
 
+LOCAL_CC_MAX_EDGES = 1 << 20  # symmetric-edge rows; ~32 MB collected
+
+
 def connected_components(nodes: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id", a_col: str = "id_a",
                          b_col: str = "id_b",
-                         max_iters: int = 50) -> DataFrame:
+                         max_iters: int = 50,
+                         local_threshold: int = LOCAL_CC_MAX_EDGES
+                         ) -> DataFrame:
     """Near-dup CLUSTER RESOLUTION: connected components over a pair
     graph -> (id_col, cluster_id) with cluster_id = the smallest node id
     in the component. The training-pipeline step after any pair-producing
@@ -1013,6 +1018,42 @@ def connected_components(nodes: DataFrame, pairs: DataFrame,
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
+    # Size-gated local fallback (the url-seen bloom-gate pattern): a
+    # near-dup round's pair graph is usually pair-bounded and tiny next
+    # to the corpus, and every distributed iteration below costs a full
+    # driver action. When the (already checkpointed — the count is a
+    # cheap cached-partition scan, the same bounded-collect contract as
+    # the HITS argmax) edge set fits the threshold, collect it and run
+    # union-find with union-by-min-root: the final root of every
+    # component IS its minimum node id, i.e. exactly the fixpoint the
+    # propagation/star loops compute. Above the gate, or with
+    # ``local_threshold=0``, the distributed paths run unchanged — the
+    # nodes table is never collected on either path.
+    if local_threshold and edges.count() <= local_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        node_t = edges.schema["src"].dataType
+        from pyspark.sql import types as T
+        schema = T.StructType([T.StructField("node", node_t),
+                               T.StructField("label", node_t)])
+        spark = edges.sparkSession
+        labels_local = spark.createDataFrame(
+            [(n, find(n)) for n in list(parent)], schema)
+        return _attach_labels(nodes, labels_local, id_col)
     # edges are symmetric, so `src` alone covers every paired node.
     # The initial label table's lineage is one distinct over the ALREADY
     # checkpointed edges — short enough to fold into iteration 1's job

@@ -568,10 +568,33 @@ def test_connected_components_deterministic_and_caps(spark):
     b = sorted(map(tuple, dedup.connected_components(nodes, pairs).collect()))
     assert a == b == [(i, 0) for i in range(6)]
     # hitting the iteration cap no longer aborts: the star fallback
-    # finishes with identical labels
+    # finishes with identical labels (local_threshold=0 forces the
+    # distributed loop so the cap is actually exercised)
     c = sorted(map(tuple, dedup.connected_components(
-        nodes, pairs, max_iters=1).collect()))
+        nodes, pairs, max_iters=1, local_threshold=0).collect()))
     assert c == a
+
+
+def test_connected_components_local_gate_parity(spark):
+    """The size-gated local union-find must produce labels identical to
+    the distributed propagation/star paths on the same graph (min node
+    id per component), including isolates and a mid-chain minimum."""
+    n = 40
+    nodes = spark.createDataFrame([(i,) for i in range(n + 6)],
+                                  "doc_id long")
+    perm = [(i * 17) % n + 6 for i in range(n)]    # ids 6..45 permuted
+    chain = [(perm[i], perm[i + 1]) for i in range(n - 1)]
+    pairs = spark.createDataFrame(chain + [(1, 4)], "id_a long, id_b long")
+    local = sorted(map(tuple, dedup.connected_components(
+        nodes, pairs).collect()))                   # default: local gate
+    dist = sorted(map(tuple, dedup.connected_components(
+        nodes, pairs, local_threshold=0).collect()))
+    star = sorted(map(tuple, dedup.connected_components(
+        nodes, pairs, max_iters=2, local_threshold=0).collect()))
+    assert local == dist == star
+    comp = dict(local)
+    assert comp[1] == 1 and comp[4] == 1
+    assert all(comp[i] == 6 for i in perm)
 
 
 def test_connected_components_star_fallback_deep_chain(spark):
@@ -588,11 +611,11 @@ def test_connected_components_star_fallback_deep_chain(spark):
     pairs = spark.createDataFrame(
         chain + [(3, 5)], "id_a long, id_b long")
     slow = {r["doc_id"]: r["cluster_id"] for r in
-            dedup.connected_components(nodes, pairs,
-                                       max_iters=500).collect()}
+            dedup.connected_components(nodes, pairs, max_iters=500,
+                                       local_threshold=0).collect()}
     fast = {r["doc_id"]: r["cluster_id"] for r in
-            dedup.connected_components(nodes, pairs,
-                                       max_iters=3).collect()}
+            dedup.connected_components(nodes, pairs, max_iters=3,
+                                       local_threshold=0).collect()}
     assert fast == slow
     assert fast[3] == 3 and fast[5] == 3
     assert all(fast[i] == 10 for i in perm)         # min chain id is 10
