@@ -228,11 +228,14 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
     remainder; DuckDB's `//` would floor and diverge).
 
     Scale shape: feature hashing (md5-slice % n_buckets) is pure
-    codegen in the scan; (doc, bucket) tf collapses map-side before
-    the doc-keyed exchange. BOTH models aggregate to <= n_buckets rows,
-    so the scoring join is a broadcast of a few-thousand-row table —
-    the corpus is scanned once for features and once (the target side
-    scans its own corpus once). Empty docs report n_feats 0, weight 0.
+    codegen in the scan; scoring is per OCCURRENCE (Σ _rel over
+    occurrences ≡ Σ tf·_rel — identical integers), so no corpus-width
+    (doc, bucket) aggregate exists: the raw model collapses to
+    bucket-width map-side and the per-doc groupBy ships doc-width
+    partials. BOTH models aggregate to <= n_buckets rows, so the
+    scoring join is a broadcast of a few-thousand-row table — the
+    corpus is scanned once for features and once (the target side scans
+    its own corpus once). Empty docs report n_feats 0, weight 0.
 
     Returns (id_col, n_feats, llr_bits, avg_millibits).
     """
@@ -254,11 +257,13 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
                           F.explode(F.concat(uni, bi)).alias("_feat"))
                 .select("_id", F.pmod(h, F.lit(n_buckets)).alias("bucket")))
 
-    doc_tf = (feats(docs, id_col)
-              .groupBy("_id", "bucket")
-              .agg(F.count(F.lit(1)).alias("tf"))
-              .persist())  # two consumers: raw model + scoring join
-    raw = doc_tf.groupBy("bucket").agg(F.sum("tf").alias("cr"))
+    # r06: occurrence-level scoring (the q70 transformation) — Σ_rel over
+    # occurrences ≡ Σ tf·_rel, so the corpus-width (doc, bucket) tf
+    # aggregate and its exchange are gone: the raw model collapses to
+    # bucket-width map-side and the per-doc groupBy ships doc-width
+    # partials. The occurrence table persists for its two consumers.
+    occ = feats(docs, id_col).persist()
+    raw = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
     tgt = (feats(target, id_col)
            .groupBy("bucket").agg(F.count(F.lit(1)).alias("ct")))
     bits = lambda c: F.length(F.bin(c)).cast("int")  # noqa: E731
@@ -272,10 +277,10 @@ def dsir_weights(docs: DataFrame, target: DataFrame,
               .withColumn("_k", F.lit(1))
               .join(tgt.agg(bits(F.sum("ct")).alias("_bits_t"))
                     .withColumn("_k", F.lit(1)), "_k"))
-    per_doc = (doc_tf.join(F.broadcast(model), "bucket")
+    per_doc = (occ.join(F.broadcast(model), "bucket")
                .groupBy("_id")
-               .agg(F.sum("tf").alias("n_feats"),
-                    F.sum(F.col("tf") * F.col("_rel")).alias("_wrel")))
+               .agg(F.count(F.lit(1)).alias("n_feats"),
+                    F.sum(F.col("_rel")).alias("_wrel")))
     spine = docs.select(F.col(id_col).alias("_id")) \
         .withColumn("_k", F.lit(1))
     joined = (spine.join(per_doc, "_id", "left")

@@ -410,13 +410,16 @@ def char_lm_surprisal(docs: DataFrame, id_col: str = "doc_id",
     the maximum surprisal bitlen(T).
 
     Scale shape: grams explode through a Generate that carries the text
-    column (position sequence is the exploded side); per-(doc, gram)
-    counts collapse map-side before the only corpus-width exchange; the
-    (doc,gram) base is persisted because two consumers (model training +
-    scoring join) would otherwise each rescan the corpus — the q43
-    lesson. The model side of the scoring join is gram-keyed and
-    aggregate-width; the one-row bits(T) total joins on a constant key
-    (broadcast). Documents shorter than n chars score 0 by contract.
+    column (position sequence is the exploded side); scoring is done per
+    OCCURRENCE (Σ bits over occurrences ≡ Σ tf·bits — identical
+    integers), so no corpus-width (doc, gram) aggregate exists at all:
+    the model rollup collapses to gram-width map-side, and the per-doc
+    groupBy ships only doc-width partials. The (id, gram) occurrence
+    table is persisted because two consumers (model training + scoring
+    join) would otherwise each rescan the corpus — the q43 lesson. The
+    model side of the scoring join is gram-keyed and aggregate-width;
+    the one-row bits(T) total joins on a constant key (broadcast).
+    Documents shorter than n chars score 0 by contract.
 
     Returns (id, n_grams, sum_bits, avg_millibits) — avg_millibits =
     (1000 * sum_bits) / n_grams in exact integer division.
@@ -432,20 +435,26 @@ def char_lm_surprisal(docs: DataFrame, id_col: str = "doc_id",
              .select("_id",
                      F.col("_text").substr(F.col("gpos"), F.lit(n))
                      .alias("gram")))
-    doc_tf = (grams.groupBy("_id", "gram")
-              .agg(F.count(F.lit(1)).alias("tf")).persist())
+    # r06: scoring happens at OCCURRENCE level — Σ_occurrences bits(gram)
+    # is identical (integers) to the old Σ_grams tf·bits, so the
+    # corpus-width (doc, gram) tf aggregate and its exchange are gone
+    # entirely: the only exchanges left are the gram-width model rollup
+    # and the doc-width partials of the per-doc groupBy (both collapse
+    # map-side). grams is persisted for its two consumers (model
+    # training + scoring) — narrow (id, gram) rows.
+    grams = grams.persist()
     if model is None:
-        model = doc_tf.groupBy("gram").agg(F.sum("tf").alias("cnt"))
+        model = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("cnt"))
     model_bits = model.select(
         "gram", F.length(F.bin(F.col("cnt"))).cast("int").alias("bits"))
     totals = (model.agg(F.sum("cnt").alias("t"))
               .select(F.length(F.bin(F.col("t"))).cast("int")
                       .alias("bits_t"),
                       F.lit(1).alias("_k")))
-    per_doc = (doc_tf.join(model_bits, "gram", "left")
+    per_doc = (grams.join(model_bits, "gram", "left")
                .groupBy("_id")
-               .agg(F.sum("tf").alias("n_grams"),
-                    F.sum(F.col("tf") * F.coalesce("bits", F.lit(0)))
+               .agg(F.count(F.lit(1)).alias("n_grams"),
+                    F.sum(F.coalesce("bits", F.lit(0)))
                     .alias("_wb")))
     sb = F.col("n_grams") * F.col("bits_t") - F.col("_wb")
     millibits = ((F.lit(1000) * sb - (F.lit(1000) * sb)
@@ -851,10 +860,12 @@ def stupid_backoff_scores(train_docs: DataFrame, score_docs: DataFrame,
       count tables (c2 keyed by the bigram, ctx/uni by the word, both
       rollups OF the c2 table — the Generate output is aggregated once,
       map-side); T is the one-row total, broadcast on a constant key.
-    - score side: one scan -> per-doc bigram multiplicities collapse
-      map-side BEFORE any join (the (doc, w1, w2, k) table is the only
-      corpus-width exchange); the c2 / ctx(w1) / uni(w2) lookups are
-      three aggregate-width equi-joins on it. Nothing rescans text.
+    - score side: one scan -> per-OCCURRENCE scoring (Σ s_ppm over
+      instances ≡ Σ k·s_ppm over distinct doc-bigrams — identical
+      integers), so no corpus-width multiplicity aggregate exists; the
+      c2 / ctx(w1) / uni(w2) lookups are aggregate-width equi-joins
+      (runtime-broadcast) and the per-doc groupBy ships doc-width
+      partials. Nothing rescans text.
     - docs with < 2 tokens score 0 with n_bigrams 0 by contract (the
       left join back to the id spine keeps them in the output).
 
@@ -879,10 +890,12 @@ def stupid_backoff_scores(train_docs: DataFrame, score_docs: DataFrame,
     uni = c2.groupBy("w2").agg(F.sum("c2").alias("uni"))
     totals = (uni.agg(F.sum("uni").alias("t_total"))
               .withColumn("_k", F.lit(1)))
-    sc = (bigrams(score_docs)
-          .groupBy("_id", "w1", "w2")
-          .agg(F.count(F.lit(1)).alias("k")))
-    scored = (sc
+    # r06: per-OCCURRENCE scoring (the q70/q83 transformation) — summing
+    # s_ppm over bigram instances ≡ Σ k·s_ppm over distinct (doc, w1,
+    # w2), so the corpus-width multiplicity groupBy and its exchange are
+    # gone; the lookup joins are aggregate-width (broadcast at runtime)
+    # and the per-doc groupBy ships doc-width partials.
+    scored = (bigrams(score_docs)
               .join(c2, ["w1", "w2"], "left")
               .join(ctx, "w1", "left")
               .join(uni, "w2", "left")
@@ -894,8 +907,8 @@ def stupid_backoff_scores(train_docs: DataFrame, score_docs: DataFrame,
                   .otherwise(F.coalesce(
                       F.expr("(400000 * uni) div t_total"), F.lit(0)))))
     per_doc = (scored.groupBy("_id")
-               .agg(F.sum("k").alias("n_bigrams"),
-                    F.sum(F.col("k") * F.col("s_ppm")).alias("sum_ppm")))
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    F.sum("s_ppm").alias("sum_ppm")))
     spine = score_docs.select(F.col(id_col).alias("_id")).distinct()
     return (spine.join(per_doc, "_id", "left")
             .select(F.col("_id").alias(id_col),
